@@ -1,0 +1,79 @@
+"""Tier rollup parity vs an independent DuckDB oracle — exact equality
+(BASELINE.json: "exact rolled-up point parity ... at each retention tier").
+
+The oracle recomputes every tier directly from raw turns (never via the
+cascade), so these tests also prove the 1m->5m->1h->1d cascade merge is
+exact, not just self-consistent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from addax_spark import synth
+from addax_spark.operators.bucketize import TIERS
+from addax_spark.operators.rollup import rollup_all_tiers
+
+from .conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def fixture_data(spark, ddb, tmp_path_factory):
+    """Synth transcripts written once, registered in both engines."""
+    p = str(tmp_path_factory.mktemp("transcripts") / "transcripts.parquet")
+    df = synth.transcripts(spark, n_convs=60, avg_turns=30)
+    df.write.mode("overwrite").parquet(p)
+    sdf = spark.read.parquet(p)
+    ddb.execute(f"CREATE OR REPLACE VIEW transcripts AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    return sdf
+
+
+def oracle_rollup_sql(tier: str, source: str = "transcripts") -> str:
+    step_us = TIERS[tier] * 1_000_000
+    return f"""
+    SELECT conv_id,
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % {step_us}) AS bucket_start,
+           count(*) AS turn_count,
+           sum(length(text)) AS sum_len,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len,
+           sum(length(text))::DOUBLE / count(*) AS avg_len,
+           max_by(ts, epoch_us(ts)::HUGEINT * 1000000 + turn_idx) AS last_ts,
+           max_by(turn_idx, epoch_us(ts)::HUGEINT * 1000000 + turn_idx) AS last_turn_idx,
+           max_by(text, epoch_us(ts)::HUGEINT * 1000000 + turn_idx) AS last_text
+    FROM {source}
+    GROUP BY conv_id, bucket_start
+    """
+
+
+@pytest.mark.parametrize("tier", ["1m", "5m", "1h", "1d"])
+def test_tier_parity(spark, ddb, fixture_data, tier):
+    tiers = rollup_all_tiers(fixture_data)
+    exp = ddb.execute(oracle_rollup_sql(tier)).df()
+    assert_df_equal(tiers[tier], exp, ["conv_id", "bucket_start"])
+
+
+def test_determinism_across_parallelism(spark):
+    a = synth.transcripts(spark, n_convs=40, avg_turns=15, partitions=2)
+    b = synth.transcripts(spark, n_convs=40, avg_turns=15, partitions=13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_last_tie_broken_by_turn_idx(spark, fixture_data):
+    row = (
+        rollup_all_tiers(fixture_data)["1d"]
+        .filter("conv_id = 'edge-tie'")
+        .collect()
+    )
+    assert len(row) == 1 and row[0].last_text == "second-at-tie"
+    assert row[0].turn_count == 2
+
+
+def test_boundary_timestamps_land_in_own_bucket(spark, fixture_data):
+    m1 = rollup_all_tiers(fixture_data)["1m"].filter("conv_id = 'edge-boundary'").collect()
+    starts = {r.bucket_start.isoformat(): r.turn_count for r in m1}
+    assert starts == {
+        "2025-01-03T00:00:00": 1,
+        "2025-01-03T05:00:00": 1,
+        "2025-01-03T05:01:00": 1,
+    }
