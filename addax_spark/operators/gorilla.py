@@ -1,0 +1,294 @@
+"""Gorilla-style time-series compression: delta-of-delta timestamps +
+XOR-encoded float64 values, bit-packed into binary chunk blobs.
+
+Implements the codec from Pelkonen et al., "Gorilla: A Fast, Scalable,
+In-Memory Time Series Database" (VLDB 2015), adapted to microsecond
+timestamps (wider delta-of-delta buckets than the paper's seconds) and to
+**vectorized numpy encoding** — the per-point control-bit decisions are made
+with array ops and the variable-length codes are packed via one
+``np.packbits`` pass, so the Spark integration is a pure Arrow
+``applyInPandas`` with no per-row Python (north_rule requirement).
+
+Chunk format (little-endian header, then MSB-first bitstream):
+
+    magic   4B  b"GOR1"
+    n       4B  uint32 point count
+    t0      8B  int64 first timestamp (epoch micros)
+    v0      8B  uint64 raw IEEE-754 bits of first value
+    stream      for each point i >= 1:
+      timestamp code (dod = (t[i]-t[i-1]) - (t[i-1]-t[i-2]); for i==1 the
+      "previous delta" is 0, so dod == first delta):
+        0                      dod == 0
+        10   +  8b offset      dod in [-2^7,  2^7)
+        110  + 16b offset      dod in [-2^15, 2^15)
+        1110 + 32b offset      dod in [-2^31, 2^31)
+        1111 + 64b raw         otherwise (two's complement)
+      value code (xor = bits(v[i]) ^ bits(v[i-1])):
+        0                              xor == 0
+        1 + 6b lead + 6b (ml-1) + ml   meaningful bits (xor >> trail)
+
+    (Single deviation from the paper: a changed value always re-transmits
+    its leading-zeros/length window instead of reusing the previous window.
+    The window-reuse branch makes each control bit depend on mutable decoder
+    state — inherently sequential — while this variant keeps encoding fully
+    vectorizable; cost is <= 11 extra bits per *changed* value.)
+
+Values are handled as raw bit patterns end-to-end (int64 views, never float
+compares), so NaN payloads, -0.0 and infinities round-trip bit-exactly
+(FIXTURES.md F3d).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import CHUNKS
+from .bucketize import bucket_start
+
+MAGIC = b"GOR1"
+_HEADER = struct.Struct("<4sIqQ")  # magic, n, t0, v0bits
+
+
+# ---------------------------------------------------------------- bit helpers
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (binary-search shifts —
+    exact for all 64-bit patterns, unlike float log2 tricks)."""
+    cur = x.astype(np.uint64).copy()
+    res = np.zeros(x.shape, dtype=np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        high = cur >> np.uint64(sh)
+        low_only = high == 0
+        res += np.where(low_only, sh, 0)
+        cur = np.where(low_only, cur, high)
+    return np.where(x == 0, 64, res)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64."""
+    cur = x.astype(np.uint64).copy()
+    res = np.zeros(x.shape, dtype=np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        low = cur & np.uint64((1 << sh) - 1)
+        high_only = low == 0
+        res += np.where(high_only, sh, 0)
+        cur = np.where(high_only, cur >> np.uint64(sh), cur)
+    return np.where(x == 0, 64, res)
+
+
+def _pack(codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Pack variable-length big-endian codes (each <= 64 bits) into a single
+    MSB-first bitstream. Fully vectorized: build an (n, maxlen) bit matrix,
+    mask to each code's length, flatten row-major, packbits."""
+    lengths = lengths.astype(np.int64)
+    keep = lengths > 0
+    codes, lengths = codes[keep].astype(np.uint64), lengths[keep]
+    if len(codes) == 0:
+        return b""
+    maxlen = int(lengths.max())
+    j = np.arange(maxlen)
+    shift = lengths[:, None] - 1 - j[None, :]
+    valid = shift >= 0
+    bits = (codes[:, None] >> np.maximum(shift, 0).astype(np.uint64)) & np.uint64(1)
+    flat = bits[valid].astype(np.uint8)
+    return np.packbits(flat).tobytes()
+
+
+# -------------------------------------------------------------------- encode
+
+
+def encode(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode a sorted series (int64 epoch-micros, float64 values) to a blob."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    values = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
+    n = len(ts_us)
+    if n == 0:
+        return _HEADER.pack(MAGIC, 0, 0, 0)
+    v64 = values.view(np.uint64)
+    head = _HEADER.pack(MAGIC, n, int(ts_us[0]), int(v64[0]))
+    if n == 1:
+        return head
+
+    # --- timestamp delta-of-delta codes
+    deltas = np.diff(ts_us)
+    a = np.diff(deltas, prepend=np.int64(0))  # dod; dod[0] = first delta - 0
+    fits8 = (a >= -(1 << 7)) & (a < (1 << 7))
+    fits16 = (a >= -(1 << 15)) & (a < (1 << 15))
+    fits32 = (a >= -(1 << 31)) & (a < (1 << 31))
+    zero = a == 0
+    # control codes / lengths
+    t_ctrl = np.select([zero, fits8, fits16, fits32], [0b0, 0b10, 0b110, 0b1110], 0b1111)
+    t_ctrl_len = np.select([zero, fits8, fits16, fits32], [1, 2, 3, 4], 4)
+    # offset-encoded payload per bucket; 64-bit bucket stores raw two's
+    # complement (int64 -> uint64 bit view)
+    t_pay = np.select(
+        [zero, fits8, fits16, fits32],
+        [np.zeros_like(a), a + (1 << 7), a + (1 << 15), a + (1 << 31)],
+        a,
+    ).astype(np.int64).view(np.uint64)
+    t_pay_len = np.select([zero, fits8, fits16, fits32], [0, 8, 16, 32], 64)
+
+    # --- value XOR codes
+    xor = v64[1:] ^ v64[:-1]
+    lead = np.minimum(_clz64(xor), 63)
+    trail = _ctz64(xor)
+    ml = np.where(xor == 0, 1, 64 - lead - trail)  # meaningful length
+    vzero = xor == 0
+    v_ctrl = np.where(vzero, 0, (np.uint64(1) << np.uint64(12)) | (lead.astype(np.uint64) << np.uint64(6)) | (ml - 1).astype(np.uint64))
+    v_ctrl_len = np.where(vzero, 1, 13)
+    v_pay = np.where(vzero, np.uint64(0), xor >> trail.astype(np.uint64))
+    v_pay_len = np.where(vzero, 0, ml)
+
+    codes = np.stack([t_ctrl.astype(np.uint64), t_pay, v_ctrl, v_pay], axis=1).ravel()
+    lengths = np.stack([t_ctrl_len, t_pay_len, v_ctrl_len, v_pay_len], axis=1).ravel()
+    return head + _pack(codes, lengths)
+
+
+# -------------------------------------------------------------------- decode
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, buf: bytes):
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        b = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        v = 0
+        for x in b.tolist():
+            v = (v << 1) | x
+        return v
+
+
+def decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode`; bit-exact round-trip (incl. NaN payloads).
+
+    Sequential by nature (variable-length codes); runs per-chunk inside
+    executors, so parallelism comes from chunk count, and the hot path
+    (encode) stays vectorized.
+    """
+    magic, n, t0, v0 = _HEADER.unpack_from(blob, 0)
+    if magic != MAGIC:
+        raise ValueError("not a GOR1 chunk")
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return ts, vals.view(np.float64)
+    ts[0], vals[0] = t0, v0
+    r = _BitReader(blob[_HEADER.size :])
+    delta = 0
+    for i in range(1, n):
+        # timestamp
+        if r.take(1) == 0:
+            dod = 0
+        elif r.take(1) == 0:
+            dod = r.take(8) - (1 << 7)
+        elif r.take(1) == 0:
+            dod = r.take(16) - (1 << 15)
+        elif r.take(1) == 0:
+            dod = r.take(32) - (1 << 31)
+        else:
+            raw = r.take(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+        # value
+        if r.take(1) == 0:
+            vals[i] = vals[i - 1]
+        else:
+            lead = r.take(6)
+            ml = r.take(6) + 1
+            bits = r.take(ml)
+            xor = bits << (64 - lead - ml)
+            vals[i] = vals[i - 1] ^ np.uint64(xor)
+    return ts, vals.view(np.float64)
+
+
+# ----------------------------------------------------------- Spark operators
+
+
+def encode_chunks(
+    df: DataFrame,
+    value: Column | str = "value",
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    chunk_tier: str = "1d",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compress a point series into one Gorilla blob per (key, chunk bucket).
+
+    One shuffle on (key, chunk_start); the encode itself is a vectorized
+    Arrow ``applyInPandas`` (numpy bit-packing — analog of the reference's
+    only vectorized paths, the ORC batch readers MyOrcReader.java:91-93, but
+    applied to the compute kernel instead of the format edge).
+
+    At 100 TB the group count is (series x days) — massively parallel; hot
+    conversations stay bounded because a chunk never exceeds one (key, tier
+    bucket) group.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    order = order_cols or [ts_col]
+    pts = df.select(
+        F.col(key).alias("conv_id"),
+        bucket_start(ts_col, chunk_tier).alias("chunk_start"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        vcol.cast("double").alias("_v"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order) if c != ts_col],
+    )
+    ocols = ["_t"] + [c for c in pts.columns if c.startswith("_o")]
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols, kind="mergesort")
+        t = pdf["_t"].to_numpy(np.int64)
+        v = pdf["_v"].to_numpy(np.float64)
+        blob = encode(t, v)
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "chunk_start": [pdf["chunk_start"].iloc[0]],
+                "n_points": [len(t)],
+                "bytes_raw": [16 * len(t)],
+                "bytes_enc": [len(blob)],
+                "chunk": [blob],
+            }
+        )
+
+    return pts.groupBy("conv_id", "chunk_start").applyInPandas(enc, schema=CHUNKS)
+
+
+def decode_chunks(chunks: DataFrame) -> DataFrame:
+    """Explode Gorilla blobs back to (conv_id, ts, value) points via
+    ``mapInPandas`` (Arrow-batched; per-chunk decode, chunk-parallel)."""
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                t, v = decode(row["chunk"])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": row["conv_id"],
+                            "ts_us": t,
+                            "value": v,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    out = chunks.select("conv_id", "chunk").mapInPandas(
+        dec, schema="conv_id string, ts_us long, value double"
+    )
+    return out.select(
+        "conv_id", F.timestamp_micros("ts_us").alias("ts"), "value"
+    )
