@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine package: ``addax_spark`` (see SURVEY.md §7). Transcript-shaped input
+for the rollup operators is derived deterministically from `events`
+(conv := user, turn order := (ts, event_id)) so Spark and the DuckDB oracle
+see the same data.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from addax_spark import api  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 4-tier continuous-aggregate cascade; returns the 1h
+    tier over sf0.001 (driver checks rows > 0, stable schema)."""
+    return api.rollup_tier(spark, "/root/testdata/sf0.001", "1h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for tier in ["1m", "5m", "1h", "1d"]:
+        q[f"rollup_{tier}"] = functools.partial(_rollup_tier, tier)
+    q["gapfill_1m"] = api.gapfill_1m
+    q["gorilla_roundtrip"] = api.gorilla_roundtrip
+    q["gorilla_chunk_stats"] = api.gorilla_chunk_stats
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _rollup_tier(tier: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return api.rollup_tier(spark, sf_dir, tier)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {f"rollup_{t}": api.oracle_rollup_sql(t) for t in ["1m", "5m", "1h", "1d"]}
+    o["gapfill_1m"] = api.oracle_gapfill_sql()
+    o["gorilla_roundtrip"] = api.ORACLE_GORILLA_SQL
+    # gorilla_chunk_stats: rows-only (binary chunk sizes not SQL-expressible)
+    return o

@@ -1,0 +1,188 @@
+"""Driver-facing query builders: each returns a DataFrame over the
+driver-provided parquet tables at a given sf_dir, shaped so an ANSI-SQL
+oracle (DuckDB) can recompute it exactly.
+
+The transcripts view is derived deterministically from `events`
+(conv := user, turn order := (ts, event_id)) so the rollup/gap-fill/codec
+operators run over a transcript-shaped table without synthesizing data the
+oracle can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.bucketize import TIERS
+from .operators import gapfill as _gapfill
+from .operators import gorilla as _gorilla
+from .operators import rollup as _rollup
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shaped table derived from `events` — identical to
+    TRANSCRIPTS_FROM_EVENTS_SQL (the oracle-side derivation)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       event_type AS role,
+       event_type || ':' || CAST(event_id AS VARCHAR) AS text,
+       CAST(NULL AS VARCHAR) AS tool,
+       ts
+FROM events
+"""
+
+
+def rollup_tier(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    """Tier rollup over the derived transcripts. 1m aggregates raw turns;
+    coarser tiers cascade from the 1m tier (continuous-aggregate path)."""
+    t = transcripts_view(spark, sf_dir)
+    if tier == "1m":
+        return _rollup.rollup_from_raw(t, "1m")
+    cur = _rollup.rollup_from_raw(t, "1m")
+    for nxt in ["5m", "1h", "1d"]:
+        cur = _rollup.rollup_cascade_step(cur, nxt)
+        if nxt == tier:
+            return cur
+    raise KeyError(tier)
+
+
+def oracle_rollup_sql(tier: str, source_sql: str = TRANSCRIPTS_FROM_EVENTS_SQL) -> str:
+    """DuckDB recomputation of a tier DIRECTLY from raw turns (never via the
+    cascade — so cascade exactness is part of what the driver checks).
+    `last` uses a HUGEINT composite key == lexicographic (ts, turn_idx)."""
+    step_us = TIERS[tier] * 1_000_000
+    key = "epoch_us(ts)::HUGEINT * 1000000 + turn_idx"
+    return f"""
+WITH transcripts AS ({source_sql})
+SELECT conv_id,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % {step_us}) AS bucket_start,
+       count(*) AS turn_count,
+       sum(length(text)) AS sum_len,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len,
+       sum(length(text))::DOUBLE / count(*) AS avg_len,
+       max_by(ts, {key}) AS last_ts,
+       max_by(turn_idx, {key}) AS last_turn_idx,
+       max_by(text, {key}) AS last_text
+FROM transcripts
+GROUP BY conv_id, bucket_start
+"""
+
+
+# gap-fill is a query-time op over a bounded range (an unbounded 1m spine over
+# a month of data is millions of rows per 100 series — not a sane query
+# result); the driver query uses a fixed 6h window, which also exercises
+# leading-gap (null LOCF) and zero-observation series.
+GAPFILL_WINDOW = ("2024-01-05 00:00:00", "2024-01-05 06:00:00")
+
+
+def gapfill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _rollup.rollup_from_raw(transcripts_view(spark, sf_dir), "1m")
+    lo, hi = GAPFILL_WINDOW
+    return _gapfill.gapfill(
+        r,
+        "1m",
+        ["avg_len"],
+        start=F.to_timestamp(F.lit(lo)),
+        end=F.to_timestamp(F.lit(hi)),
+    ).select(
+        "conv_id",
+        "bucket_start",
+        "fill_method",
+        "avg_len",
+        "turn_count",
+        "avg_len_locf",
+        "avg_len_linear",
+    )
+
+
+def oracle_gapfill_sql() -> str:
+    lo, hi = GAPFILL_WINDOW
+    return f"""
+WITH r AS ({oracle_rollup_sql('1m')}),
+spine AS (
+  SELECT conv_id, unnest(generate_series(TIMESTAMP '{lo}', TIMESTAMP '{hi}', INTERVAL 60 SECOND)) AS bucket_start
+  FROM (SELECT DISTINCT conv_id FROM r)
+),
+dense AS (
+  SELECT s.conv_id, s.bucket_start, r.avg_len, r.turn_count,
+         (r.conv_id IS NOT NULL) AS obs
+  FROM spine s LEFT JOIN r ON r.conv_id = s.conv_id AND r.bucket_start = s.bucket_start
+)
+SELECT conv_id, bucket_start,
+  CASE WHEN obs THEN 'observed' ELSE 'gap' END AS fill_method,
+  avg_len, turn_count,
+  last_value(CASE WHEN obs THEN avg_len END IGNORE NULLS) OVER wb AS avg_len_locf,
+  CASE WHEN obs THEN avg_len ELSE
+    last_value(CASE WHEN obs THEN avg_len END IGNORE NULLS) OVER wb
+    + (first_value(CASE WHEN obs THEN avg_len END IGNORE NULLS) OVER wf
+       - last_value(CASE WHEN obs THEN avg_len END IGNORE NULLS) OVER wb)
+    * ((epoch_us(bucket_start) - last_value(CASE WHEN obs THEN epoch_us(bucket_start) END IGNORE NULLS) OVER wb)::DOUBLE
+       / (first_value(CASE WHEN obs THEN epoch_us(bucket_start) END IGNORE NULLS) OVER wf
+          - last_value(CASE WHEN obs THEN epoch_us(bucket_start) END IGNORE NULLS) OVER wb)::DOUBLE)
+  END AS avg_len_linear
+FROM dense
+WINDOW
+  wb AS (PARTITION BY conv_id ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wf AS (PARTITION BY conv_id ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events value series -> Gorilla chunks -> decoded points. The oracle is
+    simply the raw series, so the driver's hash compare proves the codec is
+    lossless end-to-end (bit-exact doubles, exact micros)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value"),
+    )
+    chunks = _gorilla.encode_chunks(
+        pts, value="value", chunk_tier="1d", order_cols=["ts", "turn_idx"]
+    )
+    return _gorilla.decode_chunks(chunks)
+
+
+ORACLE_GORILLA_SQL = """
+SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, ts, value
+FROM events
+"""
+
+
+def gorilla_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation chunk/compression metrics (rows-only driver check —
+    blob sizes aren't SQL-expressible; point counts are cross-checked by
+    gorilla_roundtrip)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value"),
+    )
+    ch = _gorilla.encode_chunks(pts, value="value", chunk_tier="1d", order_cols=["ts", "turn_idx"])
+    return ch.groupBy("conv_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("bytes_raw").alias("bytes_raw"),
+        F.sum("bytes_enc").alias("bytes_enc"),
+    )
