@@ -91,13 +91,28 @@ def _pack(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     codes, lengths = codes[keep].astype(np.uint64), lengths[keep]
     if len(codes) == 0:
         return b""
-    maxlen = int(lengths.max())
-    j = np.arange(maxlen)
-    shift = lengths[:, None] - 1 - j[None, :]
-    valid = shift >= 0
-    bits = (codes[:, None] >> np.maximum(shift, 0).astype(np.uint64)) & np.uint64(1)
-    flat = bits[valid].astype(np.uint8)
-    return np.packbits(flat).tobytes()
+    if len(codes) < 4096:
+        # small chunk: (n x maxlen) bit matrix beats the per-length scatter
+        # loop's fixed overhead
+        maxlen = int(lengths.max())
+        j = np.arange(maxlen)
+        shift = lengths[:, None] - 1 - j[None, :]
+        valid = shift >= 0
+        m = (codes[:, None] >> np.maximum(shift, 0).astype(np.uint64)) & np.uint64(1)
+        return np.packbits(m[valid].astype(np.uint8)).tobytes()
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    total = int(offsets[-1])
+    bits = np.zeros(total, dtype=np.uint8)
+    # scatter per distinct code length: total work = total output bits (a
+    # naive (n x maxlen) bit matrix is O(n*64) whenever any code has a
+    # 64-bit payload — ~6x more work on typical mixes)
+    for L in np.unique(lengths):
+        idx = np.flatnonzero(lengths == L)
+        starts = offsets[idx]
+        c = codes[idx]
+        for j in range(int(L)):
+            bits[starts + j] = (c >> np.uint64(L - 1 - j)) & np.uint64(1)
+    return np.packbits(bits).tobytes()
 
 
 # -------------------------------------------------------------------- encode
@@ -246,23 +261,46 @@ def encode_chunks(
     )
     ocols = ["_t"] + [c for c in pts.columns if c.startswith("_o")]
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ocols, kind="mergesort")
-        t = pdf["_t"].to_numpy(np.int64)
-        v = pdf["_v"].to_numpy(np.float64)
-        blob = encode(t, v)
-        return pd.DataFrame(
-            {
-                "conv_id": [pdf["conv_id"].iloc[0]],
-                "chunk_start": [pdf["chunk_start"].iloc[0]],
-                "n_points": [len(t)],
-                "bytes_raw": [16 * len(t)],
-                "bytes_enc": [len(blob)],
-                "chunk": [blob],
-            }
-        )
+    # One shuffle on hash(conv_id) + in-partition sort; the encode runs as
+    # mapInPandas with a pandas groupby INSIDE each Arrow batch — one Python
+    # invocation per batch instead of per (conv, chunk) group, which is
+    # ~10-100x cheaper when groups are small (per-group applyInPandas costs
+    # ~ms of Arrow/dispatch overhead each). Groups can span Arrow batch
+    # boundaries, so a tail buffer carries the last open group forward.
+    parts = pts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = pts.repartition(int(parts), "conv_id").sortWithinPartitions(
+        "conv_id", "chunk_start", *ocols
+    )
 
-    return pts.groupBy("conv_id", "chunk_start").applyInPandas(enc, schema=CHUNKS)
+    def enc_batches(batches):
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for (cid, cs), g in pdf.groupby(["conv_id", "chunk_start"], sort=False):
+                t = g["_t"].to_numpy(np.int64)
+                v = g["_v"].to_numpy(np.float64)
+                blob = encode(t, v)
+                rows.append((cid, cs, len(t), 16 * len(t), len(blob), blob))
+            return pd.DataFrame(
+                rows,
+                columns=["conv_id", "chunk_start", "n_points", "bytes_raw", "bytes_enc", "chunk"],
+            )
+
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = (pdf["conv_id"].iloc[-1], pdf["chunk_start"].iloc[-1])
+            is_last = (pdf["conv_id"] == last_key[0]) & (pdf["chunk_start"] == last_key[1])
+            tail = pdf[is_last]
+            done = pdf[~is_last]
+            if len(done):
+                yield flush(done)
+        if tail is not None and len(tail):
+            yield flush(tail)
+
+    return arranged.mapInPandas(enc_batches, schema=CHUNKS)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:
@@ -272,17 +310,9 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     def dec(batches):
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                t, v = decode(row["chunk"])
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row["conv_id"],
-                            "ts_us": t,
-                            "value": v,
-                        }
-                    )
-                )
+            for cid, blob in zip(pdf["conv_id"].to_numpy(), pdf["chunk"].to_numpy()):
+                t, v = decode(blob)
+                outs.append(pd.DataFrame({"conv_id": cid, "ts_us": t, "value": v}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 

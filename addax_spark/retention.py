@@ -1,0 +1,105 @@
+"""Tier-based retention & compaction: coarser tiers age in, finer data ages
+out (north_rule: "tier-based retention/compaction that rewrites Iceberg
+partitions as coarser tiers age in").
+
+The reference's closest machinery is writeMode=truncate / preSql DELETE
+(plugin/writer/icebergwriter/.../IcebergWriter.java:108-115 truncates via
+deleteFromRowFilter(alwaysTrue); lib/addax-rdbms/.../WriterUtil.java:120-134
+pre/post SQL) — coarse, whole-table. Here retention is partition-surgical:
+
+- expire(): drop `date=` partitions older than each tier's horizon. On
+  Iceberg: `DELETE FROM t WHERE date < cutoff` (metadata-only partition
+  drop) + expire_snapshots; on the parquet-dir layout used in-sandbox:
+  delete the partition directories (same granularity, same idempotence).
+- compact(): rewrite a tier's surviving partitions to target file size
+  (Iceberg rewrite_data_files analog): coalesce to ceil(bytes/target) files
+  per partition via a per-partition overwrite.
+
+A query over a time range then reads the finest tier still inside its
+horizon — the standard continuous-aggregate retention ladder (e.g. raw 7d,
+1m 30d, 5m 90d, 1h 1y, 1d forever).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: tier -> days retained (None = keep forever); raw handled by ingest side
+DEFAULT_POLICY: dict[str, int | None] = {"1m": 30, "5m": 90, "1h": 365, "1d": None}
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def list_date_partitions(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        p.split("=", 1)[1] for p in os.listdir(root) if p.startswith("date=")
+    )
+
+
+def expire(
+    output_root: str,
+    now: dt.date,
+    policy: dict[str, int | None] | None = None,
+) -> dict[str, list[str]]:
+    """Drop tier partitions past their horizon; returns {tier: [dates dropped]}."""
+    policy = policy or DEFAULT_POLICY
+    dropped: dict[str, list[str]] = {}
+    for tier, days in policy.items():
+        if days is None:
+            continue
+        cutoff = (now - dt.timedelta(days=days)).isoformat()
+        root = f"{output_root}/tier_{tier}"
+        for d in list_date_partitions(root):
+            if d < cutoff:
+                shutil.rmtree(os.path.join(root, f"date={d}"))
+                dropped.setdefault(tier, []).append(d)
+    return dropped
+
+
+def compact(
+    spark: SparkSession,
+    output_root: str,
+    tier: str,
+    dates: list[str] | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite partitions of a tier to ~target-size files (small-file
+    compaction). Returns partitions rewritten. Uses dynamic partition
+    overwrite so only the touched dates are replaced — the parquet-dir
+    analog of Iceberg's rewrite_data_files + overwritePartitions commit."""
+    root = f"{output_root}/tier_{tier}"
+    dates = dates if dates is not None else list_date_partitions(root)
+    n = 0
+    for d in dates:
+        part = os.path.join(root, f"date={d}")
+        if not os.path.isdir(part):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(part, f))
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        files = max(1, -(-size // target_file_bytes))
+        df = spark.read.parquet(part).withColumn("date", F.lit(d).cast("date"))
+        df.coalesce(files).write.mode("overwrite").partitionBy("date").parquet(root)
+        n += 1
+    return n
+
+
+def finest_available_tier(
+    output_root: str, query_date: dt.date, now: dt.date, policy: dict[str, int | None] | None = None
+) -> str | None:
+    """Which tier serves a date under the retention ladder (finest surviving)."""
+    policy = policy or DEFAULT_POLICY
+    for tier in ["1m", "5m", "1h", "1d"]:
+        days = policy.get(tier)
+        if days is None or query_date >= now - dt.timedelta(days=days):
+            return tier
+    return None

@@ -1,0 +1,102 @@
+"""Job driver + manifest/resume (FIXTURES.md F4) and retention tests:
+interrupt after a strict subset of units, rerun, require identical tier
+tables to an uninterrupted run, no duplicate partitions, and per-unit
+lineage metrics. Then age tiers out and compact."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from addax_spark import retention, synth
+from addax_spark.job import RollupJobSpec, run
+
+
+@pytest.fixture(scope="module")
+def raw_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("jobraw") / "transcripts.parquet")
+    synth.transcripts(spark, n_convs=40, avg_turns=30).write.parquet(p)
+    return p
+
+
+def _table(spark, root, tier):
+    return spark.read.parquet(f"{root}/tier_{tier}").drop("date")
+
+
+def test_interrupt_resume_identical(spark, raw_path, tmp_path_factory):
+    out_a = str(tmp_path_factory.mktemp("job_uninterrupted"))
+    out_b = str(tmp_path_factory.mktemp("job_interrupted"))
+
+    full = run(spark, RollupJobSpec(raw_path, out_a, job_id="full"))
+    assert full["units"] == full["units_total"] > 1
+    assert full["rows_read"] > 0 and full["bytes_compressed"] > 0
+
+    # interrupted: only 2 units, then resume with the SAME job_id
+    part = run(spark, RollupJobSpec(raw_path, out_b, job_id="resume", max_units=2))
+    assert part["units"] == 2
+    resumed = run(spark, RollupJobSpec(raw_path, out_b, job_id="resume"))
+    assert resumed["units_skipped_resume"] == 2
+    assert resumed["units"] == full["units"]
+
+    for tier in ["1m", "5m", "1h", "1d"]:
+        a, b = _table(spark, out_a, tier), _table(spark, out_b, tier)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
+
+    # re-running a completed job is a no-op (idempotent)
+    again = run(spark, RollupJobSpec(raw_path, out_b, job_id="resume"))
+    assert again["units_skipped_resume"] == again["units_total"]
+    assert again["units"] == full["units"]
+
+    # lineage: per-unit metrics cover every turn exactly once
+    total_turns = spark.read.parquet(raw_path).count()
+    assert resumed["rows_read"] == total_turns
+    assert resumed["bytes_raw"] == 16 * total_turns
+
+
+def test_job_tiers_match_direct_rollup(spark, raw_path, tmp_path_factory):
+    from addax_spark.operators.rollup import rollup_all_tiers
+
+    out = str(tmp_path_factory.mktemp("job_direct"))
+    run(spark, RollupJobSpec(raw_path, out, job_id="direct"))
+    raw = spark.read.parquet(raw_path)
+    direct = rollup_all_tiers(raw)
+    for tier in ["1m", "1d"]:
+        got = _table(spark, out, tier)
+        exp = direct[tier]
+        assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0, tier
+
+
+def test_retention_expire_and_compact(spark, raw_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job_retention"))
+    run(spark, RollupJobSpec(raw_path, out, job_id="ret"))
+    dates = retention.list_date_partitions(f"{out}/tier_1m")
+    assert len(dates) > 1
+    # pretend "now" is far enough that the oldest 1m partition ages out but 1d stays
+    now = dt.date.fromisoformat(dates[0]) + dt.timedelta(days=31)
+    dropped = retention.expire(out, now, {"1m": 30, "1d": None})
+    assert dropped.get("1m") == [dates[0]]
+    assert retention.list_date_partitions(f"{out}/tier_1m") == dates[1:]
+    assert retention.list_date_partitions(f"{out}/tier_1d") != []  # untouched
+
+    # the ladder: expired date served by a coarser tier
+    assert retention.finest_available_tier(out, dt.date.fromisoformat(dates[0]), now,
+                                           {"1m": 30, "5m": None, "1h": None, "1d": None}) == "5m"
+
+    # compaction: same rows, fewer files
+    root = f"{out}/tier_1h"
+    before = spark.read.parquet(root).drop("date").cache()
+    n_before = before.count()
+    nfiles_before = sum(len([f for f in os.listdir(os.path.join(root, p)) if f.endswith(".parquet")])
+                        for p in os.listdir(root) if p.startswith("date="))
+    assert retention.compact(spark, out, "1h") > 0
+    after = spark.read.parquet(root).drop("date")
+    nfiles_after = sum(len([f for f in os.listdir(os.path.join(root, p)) if f.endswith(".parquet")])
+                       for p in os.listdir(root) if p.startswith("date="))
+    assert after.count() == n_before
+    assert before.exceptAll(after).count() == 0
+    assert nfiles_after <= nfiles_before
+    before.unpersist()
