@@ -38,6 +38,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gapfill_1m"] = api.gapfill_1m
     q["gorilla_roundtrip"] = api.gorilla_roundtrip
     q["gorilla_chunk_stats"] = api.gorilla_chunk_stats
+    # training-data pipeline ops (documents / embeddings)
+    q["token_stats"] = api.token_stats
+    q["quality_score"] = api.quality_score
+    q["lang_id"] = api.lang_id
+    q["fingerprint"] = api.fingerprint
+    q["exact_dedup"] = api.exact_dedup
+    q["minhash_dedup"] = api.minhash_dedup
+    q["simhash"] = api.simhash
+    q["embedding_dedup"] = api.embedding_dedup
+    q["topk_cosine"] = api.topk_cosine
+    q["ann_lsh"] = api.ann_lsh
+    q["transform_chain"] = api.transform_chain
     return q
 
 
@@ -49,5 +61,7 @@ def oracle_sql() -> dict[str, str]:
     o = {f"rollup_{t}": api.oracle_rollup_sql(t) for t in ["1m", "5m", "1h", "1d"]}
     o["gapfill_1m"] = api.oracle_gapfill_sql()
     o["gorilla_roundtrip"] = api.ORACLE_GORILLA_SQL
-    # gorilla_chunk_stats: rows-only (binary chunk sizes not SQL-expressible)
+    o.update(api.oracle_text_dedup_sqls())
+    # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
+    # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

@@ -14,9 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.bucketize import TIERS
+from .operators import dedup as _dedup
 from .operators import gapfill as _gapfill
 from .operators import gorilla as _gorilla
 from .operators import rollup as _rollup
+from .operators import similarity as _similarity
+from .operators import text as _text
+from .operators import transforms as _tf
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -186,3 +190,112 @@ def gorilla_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes_raw").alias("bytes_raw"),
         F.sum("bytes_enc").alias("bytes_enc"),
     )
+
+
+# ===================================================================== text /
+# dedup / similarity entries (training-data pipeline ops over documents /
+# embeddings)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.token_stats(load(spark, sf_dir, "documents"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.quality_score(load(spark, sf_dir, "documents"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.lang_id(load(spark, sf_dir, "documents"))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprint(load(spark, sf_dir, "documents"))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify; the oracle recomputes ALL
+    pairs >= threshold directly, so the driver compare also proves LSH
+    recall on this corpus (banding bound: 1-(1-s^2)^32 at s=0.5 -> 0.9999)."""
+    return _dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash64(load(spark, sf_dir, "documents"))
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return _similarity.brute_topk(emb, qs, k=10)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (rows-only driver check; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return _similarity.ann_lsh_topk(emb, qs, k=10)
+
+
+def transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transformer chain semantics (dx_substr -> dx_pad ->
+    dx_replace -> dx_map -> dx_filter) on documents."""
+    df = load(spark, sf_dir, "documents")
+    df = _tf.chain(
+        df,
+        [
+            _tf.Transform("dx_substr", ("text", 0, 40)),
+            _tf.Transform("dx_pad", ("text", "r", 40, "*")),
+            _tf.Transform("dx_replace", ("text", 5, 3, "XYZ")),
+            _tf.Transform("dx_map", ("n_chars", "+", "0.5")),
+            _tf.Transform("dx_filter", ("lang", "=", "de")),
+        ],
+    )
+    return df.select(
+        "doc_id", "text", F.col("n_chars").cast("double").alias("n_chars_mapped"), "lang"
+    )
+
+
+ORACLE_TRANSFORM_CHAIN_SQL = """
+SELECT doc_id,
+       substring(t2, 1, 5) || 'XYZ' ||
+         (CASE WHEN length(t2) > 8 THEN substring(t2, 9) ELSE '' END) AS text,
+       CAST(CAST(n_chars AS DECIMAL(38,10)) + CAST('0.5' AS DECIMAL(38,10)) AS DOUBLE) AS n_chars_mapped,
+       lang
+FROM (
+  SELECT doc_id, rpad(substring(text, 1, 40), 40, '*') AS t2, n_chars, lang
+  FROM documents
+)
+WHERE NOT coalesce(lang = 'de', FALSE)
+"""
+
+
+def oracle_text_dedup_sqls() -> dict[str, str]:
+    return {
+        "token_stats": _text.token_stats_sql(),
+        "quality_score": _text.quality_score_sql(),
+        "lang_id": _text.lang_id_sql(),
+        "fingerprint": _text.fingerprint_sql(),
+        "exact_dedup": _dedup.exact_dedup_sql(),
+        "minhash_dedup": _dedup.ngram_jaccard_pairs_sql(threshold=0.5),
+        "simhash": _dedup.simhash64_sql(),
+        "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.95),
+        "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
+        "transform_chain": ORACLE_TRANSFORM_CHAIN_SQL,
+    }

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns.
+
+- brute_topk: exact cosine top-k (the correctness baseline; a broadcast
+  join of the query set against the corpus — at 100 TB this is the verifier
+  run on samples, not the serving path).
+- ann_lsh: random-hyperplane LSH bucketing — deterministic hyperplanes
+  derived from md5 (no RNG state), multi-table probing, exact re-rank of
+  candidates. Approximate: verified by recall tests, not a SQL oracle.
+
+Vector math uses F.aggregate/F.zip_with left-folds in double — sequential,
+deterministic, matching the oracle's list_reduce fold order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (query id col: `q_id`).
+
+    queries is broadcast (small side); rank ties broken by corpus id —
+    fully deterministic output (rank, rounded cosine)."""
+    c = corpus.select(F.col(id_col).alias("c_id"), _as_double(vec_col).alias("cv")).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
+    q = queries.select(F.col("q_id"), _as_double(vec_col).alias("qv")).withColumn(
+        "qn", _norm(F.col("qv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+        .select("q_id", "c_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
+    )
+
+
+def brute_topk_sql(k: int, query_ids: list[int], source: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE))), (a, x) -> a + x)) AS n
+  FROM {source}
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i])), (a, x) -> a + x)
+           / (c.n * q.n) AS cos
+  FROM v c JOIN v q ON q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, round(cos, 9) AS cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+# ----------------------------------------------------------------- LSH / ANN
+
+
+def _hyperplanes_for_table(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: md5-seeded standard normals
+    (no global RNG; same planes on every executor/run/table)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        seed = int.from_bytes(hashlib.md5(f"t{table}:plane:{p}".encode()).digest()[:8], "big")
+        rng = np.random.RandomState(seed % (2**32))
+        out[p] = rng.standard_normal(dim)
+    return out
+
+
+def lsh_bucket(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit p = (v . plane_p) > 0. Pure column
+    expression — the dot products are literal-weighted sums (codegen)."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of n_tables hash tables; exact cosine re-rank.
+
+    Scale path: bucket join replaces the all-pairs cross join — shuffle on
+    (table, bucket). Recall follows the random-hyperplane bound
+    1-(1-(1-theta/pi)^planes)^tables: the driver corpus has weak neighbor
+    structure (top-1 cosine ~0.37 -> theta/pi ~0.38), so defaults are tuned
+    shallow-and-wide (4 planes x 12 tables -> expected recall@10 ~0.8,
+    asserted in tests). Tightly clustered real embeddings support more
+    planes (smaller buckets) at the same recall."""
+    tables = [(t, _hyperplanes_for_table(dim, n_planes, t)) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        parts = []
+        for t, planes in tables:
+            parts.append(
+                df.select(
+                    F.col(idc),
+                    F.col(vec_col),
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(vec_col, planes).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = with_buckets(corpus, id_col).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
+    qb = with_buckets(queries, "q_id").withColumnRenamed(vec_col, "qv_raw")
+    cands = (
+        cb.join(qb, ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "cv_raw", "qv_raw")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
+    qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))
+    scored = cands.withColumn("cos", _dot(cv, qv) / (_norm(cv) * _norm(qv)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
+    )

@@ -1,0 +1,110 @@
+"""Training-data op tests beyond the driver contract: ANN recall vs brute
+force, multimodal plumbing (schema/batch shapes with the stub kernel),
+transformer chain edge semantics, and dedup on a corpus with planted dupes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from addax_spark.operators import dedup, multimodal, similarity, transforms as tf
+
+from .conftest import SF_SMALL
+
+
+def test_ann_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    brute = similarity.brute_topk(emb, qs, k=10).collect()
+    ann = similarity.ann_lsh_topk(emb, qs, k=10).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.q_id, set()).add(r.c_id)
+    got = {}
+    for r in ann:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"ANN recall@10 too low: {avg:.2f} ({recalls})"
+
+
+def test_ann_exact_on_candidates(spark):
+    """Whatever ANN returns must carry the exact cosine (re-rank correctness):
+    every (q, c, cosine) triple must appear identically in the brute results."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    brute = {
+        (r.q_id, r.c_id): r.cosine
+        for r in similarity.brute_topk(emb, qs, k=500).collect()
+    }
+    for r in similarity.ann_lsh_topk(emb, qs, k=10).collect():
+        assert brute.get((r.q_id, r.c_id)) == r.cosine
+
+
+def test_planted_duplicates_found(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+            (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup
+            (3, "THE  Quick Brown   fox jumps over the lazy dog again and again", "en"),  # norm dup
+            (4, "the quick brown fox jumps over the very lazy dog again and again", "en"),  # near dup
+            (5, "completely different text about spark rollup engines and gorilla compression", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ex = dedup.exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_copies for r in ex}
+    assert groups[1] == 3  # 1,2,3 collapse after normalization
+    assert groups[4] == 1 and groups[5] == 1
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)
+
+    sh = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+    assert bin(sh[1] ^ sh[4]).count("1") <= 12  # near dup -> small hamming distance
+    assert bin(sh[1] ^ sh[5]).count("1") > 12
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 60)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 60
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same features across runs
+    feats2 = {r.media_id: r.features for r in multimodal.extract_features(media).collect()}
+    for r in feats:
+        assert feats2[r.media_id] == r.features
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, fake=False)
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    row = plan.groupBy("media_id").count().join(
+        media.select("media_id", "meta.duration_ms"), "media_id"
+    ).collect()
+    for r in row:
+        assert r["count"] == r.duration_ms // 5000 + 1
+
+
+def test_transform_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij", "5"), (2, None, None), (3, "ab", "-3.5")],
+        "id long, s string, num string",
+    )
+    # substr overflow clamps, null passes through
+    out = {r.id: r.s for r in tf.dx_substr(df, "s", 5, 100).collect()}
+    assert out[1] == "fghij" and out[2] is None and out[3] == ""
+    # pad truncates longer values (reference semantics)
+    out = {r.id: r.s for r in tf.dx_pad(df, "s", "l", 4, "*").collect()}
+    assert out[1] == "abcd" and out[3] == "**ab"
+    # replace splices and keeps tail
+    out = {r.id: r.s for r in tf.dx_replace(df, "s", 2, 3, "XY").collect()}
+    assert out[1] == "abXYfghij" and out[2] is None
+    # map decimal arithmetic
+    out = {r.id: r.num for r in tf.dx_map(df, "num", "*", "2").collect()}
+    assert float(out[1]) == 10.0 and out[2] is None and float(out[3]) == -7.0
+    # filter drops matches, keeps nulls
+    out = [r.id for r in tf.dx_filter(df, "s", "like", "ab.*").collect()]
+    assert out == [2]  # 1 and 3 match the anchored regex and are dropped
