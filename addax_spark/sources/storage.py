@@ -1,0 +1,141 @@
+"""File-storage sources with the reference's reader-config semantics.
+
+Re-expresses the shared CSV/text engine of txtfilereader/ftpreader/s3reader
+(lib/addax-storage/.../StorageReaderUtil.java:112-154 compression dispatch,
+:202-259 commons-csv parse, :293-334 line->Record with nullFormat, :380-424
+typed column extraction with index/value/format) and hdfsreader's format
+matrix (plugin/reader/hdfsreader/.../HdfsConstant.java:35-44: TEXT CSV ORC
+SEQ RC PARQUET) on Spark's built-in datasources:
+
+- compression dispatch: built-in (extension-based codec inference)
+- column pruning by index/name: select() — Catalyst pushes projection into
+  the scan (ReadSchema), matching the reference's per-index extraction
+- `column: [{value: X, type: T}]` constant columns: F.lit(X).cast(T)
+- nullFormat (e.g. '\\N' -> null): spark.read nullValue option
+- dateFormat: timestampFormat/dateFormat options
+- dirty-record policy: see quarantine() below — PERMISSIVE parse +
+  corrupt-record capture replaces TaskPluginCollector
+  (core/.../statistics/plugin/task/StdoutPluginCollector.java)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ColumnSpec:
+    """One entry of the reference's `column` config: read a source field by
+    index/name, or synthesize a constant (StorageReaderUtil.java:509-546)."""
+
+    type: str
+    index: int | None = None
+    name: str | None = None
+    value: object | None = None
+    format: str | None = None  # date/timestamp pattern
+
+
+@dataclass
+class StorageReadSpec:
+    path: str
+    fmt: str = "csv"  # csv | text | json | parquet | orc
+    delimiter: str = ","
+    header: bool = False
+    null_format: str | None = None
+    encoding: str = "UTF-8"
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+
+def read_storage(spark: SparkSession, spec: StorageReadSpec) -> DataFrame:
+    """Read per spec; column list applied as projection + constants + casts."""
+    r = spark.read
+    if spec.fmt == "csv":
+        r = r.options(
+            sep=spec.delimiter,
+            header=str(spec.header).lower(),
+            encoding=spec.encoding,
+            mode="PERMISSIVE",
+        )
+        if spec.null_format is not None:
+            r = r.option("nullValue", spec.null_format)
+        df = r.csv(spec.path)
+    elif spec.fmt == "text":
+        df = spark.read.text(spec.path)
+    elif spec.fmt == "json":
+        df = spark.read.json(spec.path)
+    elif spec.fmt == "parquet":
+        df = spark.read.parquet(spec.path)
+    elif spec.fmt == "orc":
+        df = spark.read.orc(spec.path)
+    else:
+        raise ValueError(f"unsupported format {spec.fmt!r}")
+
+    if not spec.columns:
+        return df
+    cols = []
+    src = df.columns
+    for i, c in enumerate(spec.columns):
+        if c.value is not None:
+            col = F.lit(c.value)
+        elif c.index is not None:
+            col = F.col(src[c.index])
+        else:
+            col = F.col(c.name)
+        if c.type in ("date", "timestamp") and c.format:
+            col = F.to_timestamp(col, _to_java_format(c.format))
+            if c.type == "date":
+                col = col.cast("date")
+        else:
+            col = col.cast(c.type)
+        cols.append(col.alias(c.name or f"c{i}"))
+    return df.select(*cols)
+
+
+def _to_java_format(fmt: str) -> str:
+    return fmt  # reference uses Java SimpleDateFormat patterns; Spark's
+    # DateTimeFormatter patterns are compatible for the y/M/d/H/m/s subset
+
+
+# ----------------------------------------------------- dirty-record policy
+
+
+def quarantine(
+    df: DataFrame, casts: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (clean, dirty) under typed casts.
+
+    The Spark-native dirty-record collector: the reference wraps each record
+    cast in try/catch and routes failures to a TaskPluginCollector
+    (transport/exchanger/TransformerExchanger.java:129-133;
+    ErrorRecordChecker budgets at core/.../util/ErrorRecordChecker.java:
+    49-105). Here try_cast marks failures as null-with-original-non-null;
+    dirty rows keep their original values for the quarantine sink."""
+    clean = df
+    dirty_pred = F.lit(False)
+    for col, typ in casts.items():
+        ok = F.col(col).try_cast(typ)
+        dirty_pred = dirty_pred | (F.col(col).isNotNull() & ok.isNull())
+    dirty = df.filter(dirty_pred)
+    clean = df.filter(~dirty_pred)
+    for col, typ in casts.items():
+        clean = clean.withColumn(col, F.col(col).cast(typ))
+    return clean, dirty
+
+
+def check_error_limit(
+    n_dirty: int, n_total: int, max_records: int | None = None, max_pct: float | None = None
+) -> None:
+    """Fail the job when the dirty budget is exceeded; record limit takes
+    priority over percentage, like the reference
+    (ErrorRecordChecker.java:66-68)."""
+    if max_records is not None and n_dirty > max_records:
+        raise RuntimeError(
+            f"dirty-record limit exceeded: {n_dirty} > {max_records} records"
+        )
+    if max_pct is not None and n_total > 0 and n_dirty / n_total > max_pct:
+        raise RuntimeError(
+            f"dirty-record ratio exceeded: {n_dirty / n_total:.4f} > {max_pct}"
+        )

@@ -1,0 +1,101 @@
+"""Sources/sinks + streaming tests: storage reader config semantics,
+dirty-record quarantine + error budget, JDBC split math, table sink modes,
+and the streaming rollup matching the batch rollup on the same data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from addax_spark import synth
+from addax_spark.operators.rollup import rollup_from_raw
+from addax_spark.sinks.table import read_table, write_table
+from addax_spark.sources import jdbc
+from addax_spark.sources.storage import (
+    ColumnSpec,
+    StorageReadSpec,
+    check_error_limit,
+    quarantine,
+    read_storage,
+)
+from addax_spark.streaming.rollup_stream import run_to_memory
+
+
+def test_storage_csv_reader(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('1,alice,2025-01-01 10:00:00,\\N\n2,bob,2025-01-02 11:30:00,x\n')
+    spec = StorageReadSpec(
+        path=str(p),
+        fmt="csv",
+        null_format="\\N",
+        columns=[
+            ColumnSpec(type="long", index=0, name="id"),
+            ColumnSpec(type="string", index=1, name="name"),
+            ColumnSpec(type="timestamp", index=2, name="ts", format="yyyy-MM-dd HH:mm:ss"),
+            ColumnSpec(type="string", index=3, name="extra"),
+            ColumnSpec(type="string", value="const", name="tag"),
+        ],
+    )
+    rows = read_storage(spark, spec).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert rows[0].extra is None and rows[1].extra == "x"  # nullFormat
+    assert rows[0].tag == "const"  # constant column
+    assert rows[0].ts.hour == 10
+
+
+def test_quarantine_and_error_budget(spark):
+    df = spark.createDataFrame(
+        [("1", "2.5"), ("x", "3.0"), ("3", "bad"), (None, "4.0")],
+        "a string, b string",
+    )
+    clean, dirty = quarantine(df, {"a": "long", "b": "double"})
+    assert clean.count() == 2  # ("1","2.5") and (None,"4.0") — null passes
+    assert dirty.count() == 2
+    assert dict(clean.dtypes)["a"] == "bigint"
+    check_error_limit(2, 4, max_records=2)  # at the limit: ok
+    with pytest.raises(RuntimeError, match="limit exceeded"):
+        check_error_limit(2, 4, max_records=1)
+    with pytest.raises(RuntimeError, match="ratio exceeded"):
+        check_error_limit(2, 4, max_pct=0.25)
+
+
+def test_jdbc_split_math(spark):
+    pts = jdbc.equal_width_points(0, 100, 4)
+    assert pts == [0, 25, 50, 75]
+    preds = jdbc.split_predicates("id", pts, where="active = 1")
+    assert len(preds) == 5  # 4 ranges + null slice
+    assert preds[0] == "id >= 0 AND id < 25 AND (active = 1)"
+    assert preds[-1] == "id IS NULL AND (active = 1)"
+    # remainder spread like the reference's BigInteger split
+    assert jdbc.equal_width_points(0, 10, 3) == [0, 4, 7]
+
+
+def test_table_sink_modes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    df2 = spark.createDataFrame([(3, "b")], "id long, part string")
+    write_table(df1, t, "append", ["part"])
+    write_table(df2, t, "overwrite_partitions", ["part"])
+    got = {(r.id, r.part) for r in read_table(spark, t).collect()}
+    assert got == {(1, "a"), (3, "b")}  # only part=b replaced
+    write_table(df2, t, "truncate", ["part"])
+    assert {(r.id, r.part) for r in read_table(spark, t).collect()} == {(3, "b")}
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    df = synth.transcripts(spark, n_convs=20, avg_turns=15)
+    # two "arrival" files -> two micro-batches
+    a = df.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    b = df.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    run_to_memory(spark, src, name="sr_test", tier="1m")
+    got = spark.table("sr_test")
+    exp = rollup_from_raw(df, "1m")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
