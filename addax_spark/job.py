@@ -28,9 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .manifest import Manifest, UnitMetrics
+from .operators.rollup import rollup_cascade_step, rollup_from_raw
 from .operators.bucketize import TIER_ORDER
 from .operators.gorilla import encode_chunks
-from .operators.rollup import rollup_all_tiers
+
 from .plans.partitioning import colocate_by_series, partitions_for_bytes
 
 
@@ -82,25 +83,47 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             sl = colocate_by_series(sl, n_parts)
         sl = sl.cache()
         try:
-            tiers = rollup_all_tiers(sl, spec.tiers, value=F.expr(spec.value_expr))
-            prev_cached: DataFrame | None = None
+            # build the cascade incrementally, caching each tier BEFORE the
+            # next derives from it — the cached subtree must be the exact
+            # plan the next tier references, else Spark recomputes the whole
+            # cascade from raw per tier write
+            from .operators.rollup import rollup_cascade_step, rollup_from_raw
+
+            cached_tiers: list[DataFrame] = []
+            parts: list[DataFrame] = []
+            cur: DataFrame | None = None
             for t in spec.tiers:
-                df = tiers[t].withColumn("date", F.to_date("bucket_start")).cache()
-                df.write.mode("overwrite").partitionBy("date").parquet(
-                    f"{spec.output_root}/tier_{t}"
-                )
-                if prev_cached is not None:
-                    prev_cached.unpersist()
-                prev_cached = df
+                cur = (
+                    rollup_from_raw(sl, t, value=F.expr(spec.value_expr))
+                    if cur is None
+                    else rollup_cascade_step(cur, t)
+                ).cache()
+                cached_tiers.append(cur)
+                parts.append(cur.withColumn("tier", F.lit(t)))
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            # ONE write action for all tiers (tier=/date= layout): per-action
+            # scheduling + commit overhead is the scaling bottleneck at small
+            # batch sizes. The repartition by (tier, date) bounds output files
+            # — without it every hash(conv) task writes into every date dir
+            # (tasks x dates files + slow commit); AQE right-sizes partitions.
+            union.withColumn("date", F.to_date("bucket_start")).repartition(
+                F.col("tier"), F.col("date")
+            ).write.mode("overwrite").partitionBy("tier", "date").parquet(
+                f"{spec.output_root}/tiers"
+            )
             chunks = encode_chunks(
                 sl,
                 value=F.expr(spec.value_expr).cast("double"),
                 chunk_tier=spec.chunk_tier,
                 order_cols=list(spec.order_cols),
             ).cache()
-            chunks.withColumn("date", F.to_date("chunk_start")).write.mode(
-                "overwrite"
-            ).partitionBy("date").parquet(f"{spec.output_root}/chunks")
+            chunks.withColumn("date", F.to_date("chunk_start")).repartition(
+                F.col("date")
+            ).write.mode("overwrite").partitionBy("date").parquet(
+                f"{spec.output_root}/chunks"
+            )
             # per-day lineage metrics in one pass over the (small) chunk table
             day_metrics = {
                 r.d.isoformat(): r
@@ -113,8 +136,8 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 )
                 .collect()
             }
-            if prev_cached is not None:
-                prev_cached.unpersist()
+            for c in cached_tiers:
+                c.unpersist()
             chunks.unpersist()
             wall_each = (time.time() - t0) / max(1, len(batch))
             for day in batch:

@@ -35,6 +35,12 @@ DEFAULT_POLICY: dict[str, int | None] = {"1m": 30, "5m": 90, "1h": 365, "1d": No
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def tier_root(output_root: str, tier: str) -> str:
+    """Partition dir for one tier in the unified tiers table layout
+    (tiers/tier=X/date=Y — one Iceberg-style identity-partitioned table)."""
+    return f"{output_root}/tiers/tier={tier}"
+
+
 def list_date_partitions(root: str) -> list[str]:
     if not os.path.isdir(root):
         return []
@@ -55,7 +61,7 @@ def expire(
         if days is None:
             continue
         cutoff = (now - dt.timedelta(days=days)).isoformat()
-        root = f"{output_root}/tier_{tier}"
+        root = tier_root(output_root, tier)
         for d in list_date_partitions(root):
             if d < cutoff:
                 shutil.rmtree(os.path.join(root, f"date={d}"))
@@ -74,7 +80,7 @@ def compact(
     compaction). Returns partitions rewritten. Uses dynamic partition
     overwrite so only the touched dates are replaced — the parquet-dir
     analog of Iceberg's rewrite_data_files + overwritePartitions commit."""
-    root = f"{output_root}/tier_{tier}"
+    root = tier_root(output_root, tier)
     dates = dates if dates is not None else list_date_partitions(root)
     n = 0
     for d in dates:

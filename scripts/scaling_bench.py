@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (BASELINE.json north rule: throughput
+scaling efficiency >= 0.8 between N and 4N executors; sandbox stand-in per
+BASELINE.md §3 = the same job at local[8] vs local[32] on the same input).
+
+Phase 1 (this process): materialize the synthetic transcripts input once.
+Phase 2: for each parallelism level, exec a FRESH python/JVM running the
+full pipeline (4 tiers + Gorilla chunks + manifest) via addax_spark.job —
+separate processes so the two levels share nothing but the input files.
+
+Writes BENCH.md at the repo root and prints a JSON summary.
+
+Usage: python scripts/scaling_bench.py [--turns 3000000] [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUN_ONE = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from addax_spark.session import get_spark
+from addax_spark.job import RollupJobSpec, run
+cores = {cores}
+spark = get_spark("scale_bench", cores=cores, shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+# warm the JVM/scan path outside the timed section
+spark.read.parquet({raw!r}).count()
+# two full runs: the first warms JIT/codegen/python workers, the second is
+# the steady-state measurement (local-mode JVMs have large cold-start noise)
+walls, summary = [], None
+for attempt in range({repeats}):
+    out = {out!r} + f"_a{{attempt}}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = run(spark, RollupJobSpec({raw!r}, out, job_id="scale", unit_batch=64))
+    walls.append(time.time() - t0)
+print("RESULT " + json.dumps({{"wall_s": min(walls), "walls": walls,
+                              **{{k: v for k, v in summary.items()}}}}))
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=3_000_000)
+    ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    work = tempfile.mkdtemp(prefix="addax_scale_")
+    raw = f"{work}/transcripts.parquet"
+
+    from addax_spark.session import get_spark
+    from addax_spark import synth
+
+    spark = get_spark("scale_gen", cores=os.cpu_count(),
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    avg = 100
+    n_convs = max(200, int(args.turns / (avg * 1.42)))
+    synth.transcripts(spark, n_convs=n_convs, avg_turns=avg).write.mode(
+        "overwrite"
+    ).parquet(raw)
+    turns = spark.read.parquet(raw).count()
+    spark.stop()
+
+    results = {}
+    for cores in levels:
+        out = f"{work}/out_{cores}"
+        code = RUN_ONE.format(repo=REPO, cores=cores, raw=raw, out=out, repeats=args.repeats)
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout + "\n" + proc.stderr)
+            raise SystemExit(f"level {cores} failed")
+        results[cores] = json.loads(line[0][len("RESULT "):])
+        results[cores]["tps"] = turns / results[cores]["wall_s"]
+
+    lo, hi = min(levels), max(levels)
+    eff = (results[hi]["tps"] / results[lo]["tps"]) / (hi / lo)
+    summary = {
+        "turns_total": turns,
+        **{f"wall_s_local{c}": round(results[c]["wall_s"], 2) for c in levels},
+        **{f"tps_local{c}": round(results[c]["tps"], 1) for c in levels},
+        "scaling_eff": round(eff, 3),
+        "chunks_encoded": results[hi].get("chunks_encoded"),
+        "bytes_raw": results[hi].get("bytes_raw"),
+        "bytes_compressed": results[hi].get("bytes_compressed"),
+        "compression_ratio": round(
+            results[hi]["bytes_raw"] / results[hi]["bytes_compressed"], 3
+        )
+        if results[hi].get("bytes_compressed")
+        else None,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(_render(summary, levels, results))
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _render(s: dict, levels: list[int], results: dict) -> str:
+    lo, hi = min(levels), max(levels)
+    return f"""# BENCH — scaling evidence (N vs 4N)
+
+Protocol per BASELINE.md §3: identical full pipeline (raw -> 1m/5m/1h/1d tier
+cascade -> Gorilla chunk encode -> partitioned writes + manifest commit) on
+the SAME pre-materialized synthetic transcripts input, run in two fresh
+processes at local[{lo}] (N) and local[{hi}] (4N). Wall time excludes session
+startup and a warm-up scan; it covers the complete job including all writes.
+
+| field | value |
+|---|---|
+| turns_total | {s['turns_total']:,} |
+| wall_s(N={lo}) | {s[f'wall_s_local{lo}']} |
+| wall_s(4N={hi}) | {s[f'wall_s_local{hi}']} |
+| tps(N) | {s[f'tps_local{lo}']:,} turns/sec |
+| tps(4N) | {s[f'tps_local{hi}']:,} turns/sec |
+| **scaling_eff = (tps(4N)/tps(N))/{hi // lo}** | **{s['scaling_eff']}** (target >= 0.8) |
+| chunks_encoded | {s['chunks_encoded']:,} |
+| bytes_raw | {s['bytes_raw']:,} |
+| bytes_compressed | {s['bytes_compressed']:,} |
+| compression_ratio | {s['compression_ratio']} |
+
+Generated by `python scripts/scaling_bench.py`.
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,11 @@ def raw_path(spark, tmp_path_factory):
 
 
 def _table(spark, root, tier):
-    return spark.read.parquet(f"{root}/tier_{tier}").drop("date")
+    return (
+        spark.read.parquet(f"{root}/tiers")
+        .filter(f"tier = '{tier}'")
+        .drop("date", "tier")
+    )
 
 
 def test_interrupt_resume_identical(spark, raw_path, tmp_path_factory):
@@ -73,21 +77,21 @@ def test_job_tiers_match_direct_rollup(spark, raw_path, tmp_path_factory):
 def test_retention_expire_and_compact(spark, raw_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_retention"))
     run(spark, RollupJobSpec(raw_path, out, job_id="ret"))
-    dates = retention.list_date_partitions(f"{out}/tier_1m")
+    dates = retention.list_date_partitions(retention.tier_root(out, "1m"))
     assert len(dates) > 1
     # pretend "now" is far enough that the oldest 1m partition ages out but 1d stays
     now = dt.date.fromisoformat(dates[0]) + dt.timedelta(days=31)
     dropped = retention.expire(out, now, {"1m": 30, "1d": None})
     assert dropped.get("1m") == [dates[0]]
-    assert retention.list_date_partitions(f"{out}/tier_1m") == dates[1:]
-    assert retention.list_date_partitions(f"{out}/tier_1d") != []  # untouched
+    assert retention.list_date_partitions(retention.tier_root(out, "1m")) == dates[1:]
+    assert retention.list_date_partitions(retention.tier_root(out, "1d")) != []  # untouched
 
     # the ladder: expired date served by a coarser tier
     assert retention.finest_available_tier(out, dt.date.fromisoformat(dates[0]), now,
                                            {"1m": 30, "5m": None, "1h": None, "1d": None}) == "5m"
 
     # compaction: same rows, fewer files
-    root = f"{out}/tier_1h"
+    root = retention.tier_root(out, "1h")
     before = spark.read.parquet(root).drop("date").cache()
     n_before = before.count()
     nfiles_before = sum(len([f for f in os.listdir(os.path.join(root, p)) if f.endswith(".parquet")])
