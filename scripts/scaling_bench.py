@@ -52,8 +52,11 @@ print("RESULT " + json.dumps({{"wall_s": min(walls), "walls": walls,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=3_000_000)
-    ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--turns", type=int, default=6_000_000)
+    # default N=2 vs 4N=8: leaves the single memory bus unsaturated, the
+    # honest stand-in for adding executors (see BENCH.md analysis); use
+    # 8,32 for the host-saturation data point
+    ap.add_argument("--levels", type=str, default="2,8")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
@@ -108,7 +111,9 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # raw per-run render goes to BENCH_last_run.md; BENCH.md is the curated
+    # two-data-point analysis and is maintained by hand
+    with open(os.path.join(REPO, "BENCH_last_run.md"), "w") as f:
         f.write(_render(summary, levels, results))
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
