@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine"] = api.topk_cosine
     q["ann_lsh"] = api.ann_lsh
     q["transform_chain"] = api.transform_chain
+    # time-series relational ops
+    q["asof_join"] = api.asof_join_events
+    q["pivot_1h"] = api.pivot_1h
+    q["sessionize"] = api.sessionize_events
     return q
 
 
@@ -62,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     o["gapfill_1m"] = api.oracle_gapfill_sql()
     o["gorilla_roundtrip"] = api.ORACLE_GORILLA_SQL
     o.update(api.oracle_text_dedup_sqls())
+    o.update(api.oracle_timeseries_sqls())
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

@@ -299,3 +299,101 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
         "transform_chain": ORACLE_TRANSFORM_CHAIN_SQL,
     }
+
+
+# ==================================================== time-series relational
+# operators (as-of join / pivot / sessionize) over events
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event joined to the user's latest signup at-or-before it
+    (backward as-of). Right side deduped per (user, ts) for determinism."""
+    from .operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return asof_join(left, right, ["user_id"], right_value_cols=["signup_value"])
+
+
+ORACLE_ASOF_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, l.event_id, l.value, r.signup_value AS asof_signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB2-style range+pivot scan: per (user, 1h bucket), one summed
+    column per event type (exact DECIMAL accumulation)."""
+    from .operators.timeseries import pivot_metrics
+
+    return pivot_metrics(load(spark, sf_dir, "events"), "1h", "event_type", EVENT_TYPES)
+
+
+def _oracle_pivot_sql() -> str:
+    cells = ",\n       ".join(
+        f"(sum(CASE WHEN event_type = '{t}' THEN value::DECIMAL(18,2) END))::DOUBLE AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_start,
+       {cells}
+FROM events
+GROUP BY user_id, bucket_start
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    return sessionize(ev, gap_s=1800)
+
+
+ORACLE_SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+FROM y GROUP BY user_id, session_idx
+"""
+
+
+def oracle_timeseries_sqls() -> dict[str, str]:
+    return {
+        "asof_join": ORACLE_ASOF_SQL,
+        "pivot_1h": _oracle_pivot_sql(),
+        "sessionize": ORACLE_SESSIONIZE_SQL,
+    }

@@ -14,6 +14,16 @@ Determinism contract (BASELINE.json: "exact rolled-up point parity"):
   order, ties broken by turn_idx, identical at any parallelism.
 - avg is DERIVED (sum/count on exact int64) rather than engine avg(), so the
   double result is bit-identical across engines and accumulation orders.
+
+Plan audit (see PLANS.md): the struct-keyed max_by puts a struct in the
+aggregation buffer, so Spark plans SortAggregate instead of HashAggregate.
+Measured alternatives on 2.8M rows / 8 cores: packed-int64 key (bounds
+turn_idx to 2^26) — still SortAggregate because last_text's string buffer
+also blocks hash agg, ~5% faster, not worth the bound; numeric-only agg +
+join-back for last_text — 1.6x SLOWER (extra join pass). SortAggregate
+still does map-side partial aggregation, so the shuffle carries one row per
+(key, bucket, map partition) either way; the sort is per already-small
+partial groups. Struct key kept deliberately.
 """
 
 from __future__ import annotations
