@@ -36,9 +36,19 @@ def partitions_for_bytes(input_bytes: int, min_parts: int = 8, max_parts: int = 
 
 
 def colocate_by_series(df: DataFrame, n_partitions: int, key: str = "conv_id") -> DataFrame:
-    """Hash-repartition by series key so tier rollups, window fills and chunk
-    encodes all run shuffle-free downstream (HashPartitioning(conv_id)
-    satisfies ClusteredDistribution(conv_id, bucket...) for every tier)."""
+    """Hash-repartition by series key so tier rollups and chunk encodes run
+    shuffle-free downstream: HashPartitioning(conv_id) is a subset of every
+    grouping key (conv_id, bucket), which is exactly the condition Catalyst
+    can PROVE, so no further Exchange is planned (verified in PLANS.md §2).
+
+    Skew note: partitioning on (conv_id, date(ts)) would also be
+    semantically colocated for day-aligned buckets and would spread hot
+    conversations across days — but the planner cannot prove expression-
+    derived colocation and re-adds exchanges, defeating the design. conv-only
+    is safe because a conversation is bounded (thousands of turns — KBs to
+    MBs) while a partition targets ~128 MiB: at 10^12 turns / ~10^9
+    conversations, per-partition load is governed by the law of large
+    numbers, and AQE skew handling remains on as the backstop."""
     return df.repartition(n_partitions, F.col(key))
 
 

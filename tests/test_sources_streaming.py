@@ -99,3 +99,67 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     exp = rollup_from_raw(df, "1m")
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running aggregates == batch rollup + sessionize
+    after a full drain across micro-batches (state carried between batches)."""
+    from addax_spark.streaming.stateful import stream_conversation_state
+    from addax_spark.streaming.rollup_stream import read_transcript_stream
+    from addax_spark.operators.timeseries import sessionize
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    df = synth.transcripts(spark, n_convs=15, avg_turns=20)
+    # three arrival files split by turn ranges: conversations span batches
+    # (state must carry) while each conversation arrives in order (the
+    # keyed-log contract session counting assumes)
+    for lo, hi in [(0, 5), (5, 12), (12, 10**9)]:
+        df.filter((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    q = (
+        stream_conversation_state(read_transcript_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per conv per batch; take the latest per conv
+    got = {
+        r.conv_id: r
+        for r in spark.sql(
+            "select * from (select *, row_number() over (partition by conv_id order by n_turns desc) rn from conv_state) where rn = 1"
+        ).collect()
+    }
+    exp_tot = {
+        r.conv_id: r
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("s"),
+            F.max(F.struct("ts", "turn_idx")).alias("last"),
+        )
+        .collect()
+    }
+    sess = {
+        r.conv_id: r.ns
+        for r in sessionize(
+            df.select(F.col("conv_id"), "ts", F.col("turn_idx").alias("event_id")),
+            gap_s=1800,
+            key="conv_id",
+            tie_col="event_id",
+        )
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("ns"))
+        .collect()
+    }
+    assert set(got) == set(exp_tot)
+    for cid, e in exp_tot.items():
+        g = got[cid]
+        assert g.n_turns == e.n and g.sum_len == e.s, cid
+        assert g.last_turn_idx == e.last.turn_idx, cid
+        assert g.n_sessions == sess[cid], cid
