@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = api.asof_join_events
     q["pivot_1h"] = api.pivot_1h
     q["sessionize"] = api.sessionize_events
+    q["rollup_value_1h"] = api.rollup_value_1h
     return q
 
 
@@ -67,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
     o["gorilla_roundtrip"] = api.ORACLE_GORILLA_SQL
     o.update(api.oracle_text_dedup_sqls())
     o.update(api.oracle_timeseries_sqls())
+    o["rollup_value_1h"] = api.ORACLE_ROLLUP_VALUE_SQL
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

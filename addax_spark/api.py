@@ -397,3 +397,40 @@ def oracle_timeseries_sqls() -> dict[str, str]:
         "pivot_1h": _oracle_pivot_sql(),
         "sessionize": ORACLE_SESSIONIZE_SQL,
     }
+
+
+def rollup_value_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric rollup over the events value column: DECIMAL(18,2)
+    accumulation (the input has 2dp values) -> exact, order-independent
+    sums; avg derived from the exact sum. `last` by (ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts").cast("timestamp").alias("ts"), F.col("event_id"))
+    vdec = F.col("value").cast("decimal(18,2)")
+    from .operators.bucketize import bucket_start
+
+    return (
+        ev.withColumn("bucket_start", bucket_start("ts", "1h"))
+        .groupBy("user_id", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum(vdec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.max_by("value", ordk).alias("last_value"),
+        )
+    )
+
+
+ORACLE_ROLLUP_VALUE_SQL = """
+SELECT user_id,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_start,
+       count(*) AS n,
+       (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       (sum(value::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_value,
+       max_by(value, epoch_us(ts)::HUGEINT * 10000000000 + event_id) AS last_value
+FROM events
+GROUP BY user_id, bucket_start
+"""
