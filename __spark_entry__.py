@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pivot_1h"] = api.pivot_1h
     q["sessionize"] = api.sessionize_events
     q["rollup_value_1h"] = api.rollup_value_1h
+    q["pricing_summary"] = api.pricing_summary
+    q["revenue_by_nation"] = api.revenue_by_nation
     return q
 
 
@@ -69,6 +71,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(api.oracle_text_dedup_sqls())
     o.update(api.oracle_timeseries_sqls())
     o["rollup_value_1h"] = api.ORACLE_ROLLUP_VALUE_SQL
+    o["pricing_summary"] = api.ORACLE_PRICING_SQL
+    o["revenue_by_nation"] = api.ORACLE_REVENUE_SQL
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

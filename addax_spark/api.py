@@ -434,3 +434,87 @@ SELECT user_id,
 FROM events
 GROUP BY user_id, bucket_start
 """
+
+
+# ============================================== general analytics (join/agg
+# breadth over the star schema; decimal accumulation for exact parity)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. All monetary inputs are 2dp doubles;
+    accumulation in DECIMAL keeps every sum exact and order-independent,
+    then derived averages are exact-ratio doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    charge = (disc_price * (F.lit(1).cast("decimal(18,2)") + d("l_tax"))).cast("decimal(38,6)")
+    out = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+ORACLE_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+       (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS sum_disc_price,
+       (sum(((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4) * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2)))::DECIMAL(38,6)))::DOUBLE AS sum_charge,
+       count(*) AS count_order,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty,
+       (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join rollup: lineitem -> orders -> customer -> nation with the
+    small dimensions broadcast (nation is rows-not-bytes small; Catalyst
+    broadcasts customer under the threshold at test scale — at 100 TB the
+    explicit broadcast(nation) hint is the load-bearing one)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_SQL = """
+SELECT n_name,
+       (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -76,10 +76,14 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
     )
-    mins = [
-        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    # Kirsch-Mitzenmacher double hashing: h_i = (h1 + i*h2) mod p from TWO
+    # md5-derived base hashes per shingle instead of k independent md5s
+    # (k=64 md5+hex-conv per shingle measured 10x slower at 5k docs).
+    # 31-bit values: within-doc collision over ~100 shingles is ~1e-6.
+    p = (1 << 31) - 1
+    h1 = F.pmod(hash60(F.col("shingle")), F.lit(p))
+    h2 = F.pmod(hash60(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(p)) + 1
+    mins = [F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(p))).alias(f"mh{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*mins)
 
 

@@ -134,23 +134,48 @@ def ann_lsh_topk(
     shallow-and-wide (4 planes x 12 tables -> expected recall@10 ~0.8,
     asserted in tests). Tightly clustered real embeddings support more
     planes (smaller buckets) at the same recall."""
-    tables = [(t, _hyperplanes_for_table(dim, n_planes, t)) for t in range(n_tables)]
+    import pandas as pd
+
+    # all tables' hyperplanes as one (n_tables*n_planes, dim) matrix: bucket
+    # bits for every table come from ONE numpy matmul per Arrow batch —
+    # replaces n_tables x n_planes codegen'd literal-array folds (the
+    # column-expression variant spent ~9s in codegen/planning alone at 12
+    # tables; lsh_bucket() remains for few-plane uses)
+    planes_all = np.concatenate(
+        [_hyperplanes_for_table(dim, n_planes, t) for t in range(n_tables)]
+    )
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        parts = []
-        for t, planes in tables:
-            parts.append(
-                df.select(
-                    F.col(idc),
-                    F.col(vec_col),
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(vec_col, planes).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        vec_field = df.schema[vec_col].dataType.simpleString()
+
+        def bucketize(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                bits = (V @ planes_all.T) > 0  # (n, n_tables*n_planes)
+                weights = (1 << np.arange(n_planes)).astype(np.int64)
+                out = []
+                for t in range(n_tables):
+                    b = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                idc: pdf[idc].to_numpy(),
+                                vec_col: pdf[vec_col].to_numpy(),
+                                "tbl": t,
+                                "bucket": b,
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        return df.select(idc, vec_col).mapInPandas(
+            bucketize,
+            schema=f"{idc} string, {vec_col} {vec_field}, tbl int, bucket long"
+            if df.schema[idc].dataType.simpleString() == "string"
+            else f"{idc} {df.schema[idc].dataType.simpleString()}, {vec_col} {vec_field}, tbl int, bucket long",
+        )
 
     cb = with_buckets(corpus, id_col).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
     qb = with_buckets(queries, "q_id").withColumnRenamed(vec_col, "qv_raw")

@@ -60,6 +60,13 @@ def main() -> None:
     ).parquet(raw_path)
     turns_total = spark.read.parquet(raw_path).count()
 
+    # warm-up: tiny pipeline run to JIT/codegen the operators and spawn the
+    # Python workers (cold local-mode JVMs cost ~2-3x on the first run;
+    # steady-state is what BASELINE.md measures)
+    warm = f"{work}/warm.parquet"
+    synth.transcripts(spark, n_convs=50, avg_turns=20).write.mode("overwrite").parquet(warm)
+    run_job(spark, RollupJobSpec(warm, f"{work}/warm_out", job_id="warm"))
+
     # ---- headline: full pipeline wall time
     t0 = time.time()
     summary = run_job(
