@@ -229,7 +229,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.95)
+    """Threshold 0.45 — the synthetic embeddings are weak (max pairwise
+    cosine ~0.5/0.6 at sf0.01/0.1), so the canonical 0.95 near-dup cut is
+    vacuous; 0.45 yields a real pair set (14/144) to verify against."""
+    return _dedup.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -295,7 +298,7 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "exact_dedup": _dedup.exact_dedup_sql(),
         "minhash_dedup": _dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "simhash": _dedup.simhash64_sql(),
-        "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.95),
+        "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
         "transform_chain": ORACLE_TRANSFORM_CHAIN_SQL,
     }
