@@ -60,3 +60,53 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if _is_catalog_table(target):
         return spark.read.table(target)
     return spark.read.parquet(target)
+
+
+def upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Upsert rows by key (the reference's writeMode=update dialect
+    templates — MySQL ON DUPLICATE KEY UPDATE / PG ON CONFLICT / MERGE INTO,
+    lib/addax-rdbms/.../writer/util/WriterUtil.java:209-309).
+
+    Catalog path: a real `MERGE INTO` statement. Parquet-dir path: rewrite
+    only the partitions df touches — existing rows whose key collides are
+    replaced, others kept (read-merge-overwrite per touched partition via
+    dynamic overwrite; the same partition-surgical semantics Iceberg's
+    copy-on-write MERGE gives)."""
+    if _is_catalog_table(target):
+        df.createOrReplaceTempView("_upsert_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {target} t USING _upsert_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(target):
+        write_table(df, target, "append", partition_by)
+        return
+    existing = spark.read.parquet(target)
+    if partition_by:
+        # restrict the rewrite to touched partitions (collected partition
+        # values are few — one row per partition)
+        touched = [tuple(r) for r in df.select(*partition_by).distinct().collect()]
+        cond = None
+        for t in touched:
+            c = F.lit(True)
+            for k, v in zip(partition_by, t):
+                c = c & (F.col(k) == F.lit(v))
+            cond = c if cond is None else (cond | c)
+        existing = existing.filter(cond)
+    merged = existing.join(df.select(*keys), keys, "left_anti").unionByName(df)
+    out = merged.cache()
+    out.count()  # materialize before overwriting the files being read
+    write_table(out, target, "overwrite_partitions" if partition_by else "truncate", partition_by)
+    out.unpersist()

@@ -163,3 +163,18 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
         assert g.n_turns == e.n and g.sum_len == e.s, cid
         assert g.last_turn_idx == e.last.turn_idx, cid
         assert g.n_sessions == sess[cid], cid
+
+
+def test_table_upsert(spark, tmp_path):
+    from addax_spark.sinks.table import upsert, read_table
+
+    t = str(tmp_path / "up")
+    base = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "a", "old2"), (3, "b", "old3")], "id long, part string, v string"
+    )
+    upsert(spark, base, t, ["id"], ["part"])
+    # update id=2, insert id=4 (both in part=a); part=b untouched
+    delta = spark.createDataFrame([(2, "a", "new2"), (4, "a", "new4")], "id long, part string, v string")
+    upsert(spark, delta, t, ["id"], ["part"])
+    got = {r.id: (r.part, r.v) for r in read_table(spark, t).collect()}
+    assert got == {1: ("a", "old1"), 2: ("a", "new2"), 3: ("b", "old3"), 4: ("a", "new4")}
