@@ -78,7 +78,7 @@ WITH transcripts AS ({source_sql})
 SELECT conv_id,
        make_timestamp(epoch_us(ts) - epoch_us(ts) % {step_us}) AS bucket_start,
        count(*) AS turn_count,
-       sum(length(text)) AS sum_len,
+       sum(length(text))::BIGINT AS sum_len,
        min(length(text)) AS min_len,
        max(length(text)) AS max_len,
        sum(length(text))::DOUBLE / count(*) AS avg_len,
@@ -433,6 +433,10 @@ SELECT user_id,
        min(value) AS min_value,
        max(value) AS max_value,
        (sum(value::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_value,
+       -- composite last-key: multiplier 10^10 requires 0 <= event_id < 10^10 to stay
+       -- lexicographically equal to Spark's max_by(value, struct(ts, event_id)).
+       -- The testdata contract (TESTDATA.md) generates sequential non-negative
+       -- event ids far below that bound; rollup_value_1h asserts it at runtime.
        max_by(value, epoch_us(ts)::HUGEINT * 10000000000 + event_id) AS last_value
 FROM events
 GROUP BY user_id, bucket_start

@@ -33,6 +33,18 @@ def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
         f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    # The driver's value-hash is dtype-sensitive: an oracle column that lands
+    # in pandas as float64 (e.g. DuckDB HUGEINT from an uncast sum(int)) will
+    # hash-mismatch a Spark int64 even when every value is numerically equal.
+    # Assert dtype KIND parity up front so the local mimic can never pass a
+    # query the driver fails on dtype grounds (VERDICT r1 item 1).
+    for c in sorted(got.columns):
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        assert gk == ek, (
+            f"{name}.{c}: dtype kind mismatch — spark {got[c].dtype} ({gk!r}) "
+            f"vs oracle {exp[c].dtype} ({ek!r}); cast the oracle (::BIGINT / "
+            f"::DOUBLE) or the Spark column so both sides materialize alike"
+        )
     g, e = _canon(got), _canon(exp)
     for c in g.columns:
         if g[c].dtype.kind == "f":
