@@ -35,17 +35,32 @@ def bucket_spine(
     bucket_col: str = "bucket_start",
     start: Column | None = None,
     end: Column | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (keys, bucket) for every `tier` bucket in the series range.
 
     Range defaults to [min(bucket), max(bucket)] per series; pass ``start``/
     ``end`` literals to gap-fill a fixed window instead (cheaper + aligned
     output across series).
+
+    ``universe`` (distinct key rows) decouples WHICH series get a spine from
+    the tier table itself: with a fixed window the caller can aggregate only
+    [start, end) — the 100 TB-friendly plan — while still spining series that
+    have no observation inside the window (they come back as all-gap rows).
+    Deriving the universe from a key-pruned column scan costs one distinct
+    over one column instead of a full-history rollup.
     """
     step = TIERS[tier]
     lo = start if start is not None else F.min(bucket_col)
     hi = end if end is not None else F.max(bucket_col)
-    bounds = df.groupBy(*keys).agg(lo.alias("_lo"), hi.alias("_hi"))
+    if universe is not None:
+        if start is None or end is None:
+            raise ValueError("universe requires explicit start/end bounds")
+        bounds = universe.select(*keys).distinct().select(
+            *keys, lo.alias("_lo"), hi.alias("_hi")
+        )
+    else:
+        bounds = df.groupBy(*keys).agg(lo.alias("_lo"), hi.alias("_hi"))
     return bounds.select(
         *keys,
         F.explode(
@@ -63,6 +78,7 @@ def gapfill(
     methods: tuple[str, ...] = ("locf", "linear"),
     start: Column | None = None,
     end: Column | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """Densify a tier table and fill missing buckets.
 
@@ -76,7 +92,7 @@ def gapfill(
       weighted by bucket distance; leading/trailing gaps stay null (no
       extrapolation).
     """
-    spine = bucket_spine(df, tier, keys, bucket_col, start, end)
+    spine = bucket_spine(df, tier, keys, bucket_col, start, end, universe)
     marked = df.withColumn("_obs", F.lit(1))
     full = spine.join(marked, on=[*keys, bucket_col], how="left")
 

@@ -168,64 +168,111 @@ def encode(ts_us: np.ndarray, values: np.ndarray) -> bytes:
 # -------------------------------------------------------------------- decode
 
 
-class _BitReader:
-    __slots__ = ("bits", "pos")
+_POW12 = (1 << np.arange(11, -1, -1)).astype(np.int64)
 
-    def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        self.pos = 0
 
-    def take(self, n: int) -> int:
-        b = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        v = 0
-        for x in b.tolist():
-            v = (v << 1) | x
-        return v
+def _gather64(bits: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Read a 64-bit big-endian lookahead window starting at each bit index
+    in ``p`` (vectorized: fancy-index a (k, 64) bit matrix, packbits along
+    rows, view the 8 bytes as one big-endian uint64)."""
+    m = bits[p[:, None] + np.arange(64)]
+    return np.packbits(m, axis=1).view(">u8").ravel().astype(np.uint64)
+
+
+def decode_many(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a batch of chunks in vectorized "waves": iteration *i* decodes
+    point *i* of EVERY still-active chunk with numpy gathers, so the Python
+    loop count is max-points-per-chunk, not total-points (and never per-bit).
+    Variable-length codes are inherently sequential *within* a chunk, but the
+    decode state (bit position, running delta, previous value) is a plain
+    vector across chunks — the same transposition that makes the encoder's
+    ``np.select`` formulation work.
+
+    Returns ``(ts_us, values, n_per_chunk)`` with points concatenated in
+    input-chunk order; ``values`` is a float64 bit-view (NaN payloads, -0.0
+    and infinities preserved exactly).
+    """
+    B = len(blobs)
+    ns = np.zeros(B, np.int64)
+    t0 = np.zeros(B, np.int64)
+    v0 = np.zeros(B, np.uint64)
+    streams: list[np.ndarray] = []
+    starts = np.zeros(B, np.int64)
+    off = 0
+    for k, blob in enumerate(blobs):
+        magic, n, t, v = _HEADER.unpack_from(blob, 0)
+        if magic != MAGIC:
+            raise ValueError("not a GOR1 chunk")
+        ns[k], t0[k], v0[k] = n, t, np.uint64(v)
+        s = np.unpackbits(np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size))
+        starts[k] = off
+        streams.append(s)
+        off += len(s)
+    # 192 zero-bit tail pad: every gather reads a full 64-bit window and the
+    # widest code is 4+64 bits, so lookahead may run past the last chunk's end
+    streams.append(np.zeros(192, np.uint8))
+    bits = np.concatenate(streams)
+
+    total = int(ns.sum())
+    out_ts = np.empty(total, np.int64)
+    out_v = np.empty(total, np.uint64)
+    base = np.concatenate(([0], np.cumsum(ns)))[:-1]
+    nz = ns > 0
+    out_ts[base[nz]] = t0[nz]
+    out_v[base[nz]] = v0[nz]
+
+    pos = starts.copy()
+    delta = np.zeros(B, np.int64)
+    prev_t = t0.copy()
+    prev_v = v0.copy()
+    maxn = int(ns.max()) if B else 0
+    for i in range(1, maxn):
+        act = np.flatnonzero(ns > i)
+        p = pos[act]
+        # --- timestamp code: class = count of leading ones in the 4-bit
+        # control prefix (0 / 10 / 110 / 1110 / 1111)
+        c4 = bits[p[:, None] + np.arange(4)]
+        cls = c4.cumprod(axis=1).sum(axis=1).astype(np.int64)
+        ctrl_len = np.where(cls < 4, cls + 1, 4)
+        pay_len = np.select([cls == 0, cls == 1, cls == 2, cls == 3], [0, 8, 16, 32], 64)
+        w = _gather64(bits, p + ctrl_len)
+        shift = np.where(pay_len > 0, 64 - pay_len, 0).astype(np.uint64)
+        payload = np.where(pay_len > 0, w >> shift, np.uint64(0))
+        # zero the 64-bit rows before the int64 cast (np.select evaluates
+        # every choice on every row; a huge uint64 would overflow the cast)
+        small = np.where(cls < 4, payload, np.uint64(0)).astype(np.int64)
+        dod = np.select(
+            [cls == 0, cls == 1, cls == 2, cls == 3],
+            [np.zeros(len(act), np.int64), small - (1 << 7), small - (1 << 15), small - (1 << 31)],
+            payload.view(np.int64),  # raw 64-bit two's complement
+        )
+        delta[act] += dod
+        t = prev_t[act] + delta[act]
+        out_ts[base[act] + i] = t
+        prev_t[act] = t
+        p = p + ctrl_len + pay_len
+        # --- value code: 0 = repeat, 1 + 6b lead + 6b (ml-1) + ml bits
+        changed = bits[p] == 1
+        w12 = (bits[p[:, None] + 1 + np.arange(12)].astype(np.int64) * _POW12).sum(axis=1)
+        lead = w12 >> 6
+        ml = (w12 & 63) + 1
+        X = _gather64(bits, p + 13)
+        mean = X >> (64 - ml).astype(np.uint64)
+        # clamp: on unchanged rows lead/ml are garbage lookahead and the
+        # shift could go negative; the result is masked out by `changed`
+        xbits = mean << np.maximum(64 - lead - ml, 0).astype(np.uint64)
+        newv = prev_v[act] ^ np.where(changed, xbits, np.uint64(0))
+        out_v[base[act] + i] = newv
+        prev_v[act] = newv
+        pos[act] = p + np.where(changed, 13 + ml, 1)
+    return out_ts, out_v.view(np.float64), ns
 
 
 def decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode`; bit-exact round-trip (incl. NaN payloads).
-
-    Sequential by nature (variable-length codes); runs per-chunk inside
-    executors, so parallelism comes from chunk count, and the hot path
-    (encode) stays vectorized.
-    """
-    magic, n, t0, v0 = _HEADER.unpack_from(blob, 0)
-    if magic != MAGIC:
-        raise ValueError("not a GOR1 chunk")
-    ts = np.empty(n, dtype=np.int64)
-    vals = np.empty(n, dtype=np.uint64)
-    if n == 0:
-        return ts, vals.view(np.float64)
-    ts[0], vals[0] = t0, v0
-    r = _BitReader(blob[_HEADER.size :])
-    delta = 0
-    for i in range(1, n):
-        # timestamp
-        if r.take(1) == 0:
-            dod = 0
-        elif r.take(1) == 0:
-            dod = r.take(8) - (1 << 7)
-        elif r.take(1) == 0:
-            dod = r.take(16) - (1 << 15)
-        elif r.take(1) == 0:
-            dod = r.take(32) - (1 << 31)
-        else:
-            raw = r.take(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        ts[i] = ts[i - 1] + delta
-        # value
-        if r.take(1) == 0:
-            vals[i] = vals[i - 1]
-        else:
-            lead = r.take(6)
-            ml = r.take(6) + 1
-            bits = r.take(ml)
-            xor = bits << (64 - lead - ml)
-            vals[i] = vals[i - 1] ^ np.uint64(xor)
-    return ts, vals.view(np.float64)
+    Thin wrapper over the batch decoder :func:`decode_many`."""
+    ts, vals, _ = decode_many([blob])
+    return ts, vals
 
 
 # ----------------------------------------------------------- Spark operators
@@ -309,12 +356,16 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
 
     def dec(batches):
         for pdf in batches:
-            outs = []
-            for cid, blob in zip(pdf["conv_id"].to_numpy(), pdf["chunk"].to_numpy()):
-                t, v = decode(blob)
-                outs.append(pd.DataFrame({"conv_id": cid, "ts_us": t, "value": v}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            t, v, ns = decode_many(list(pdf["chunk"]))
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                    "ts_us": t,
+                    "value": v,
+                }
+            )
 
     out = chunks.select("conv_id", "chunk").mapInPandas(
         dec, schema="conv_id string, ts_us long, value double"
