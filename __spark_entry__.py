@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_dedup"] = api.minhash_dedup
     q["simhash"] = api.simhash
     q["embedding_dedup"] = api.embedding_dedup
+    q["embedding_lsh_dedup"] = api.embedding_lsh_dedup
     q["topk_cosine"] = api.topk_cosine
     q["ann_lsh"] = api.ann_lsh
     q["transform_chain"] = api.transform_chain

