@@ -57,15 +57,50 @@ class RollupJobSpec:
             self.job_id = f"rollup-{uuid.uuid4().hex[:12]}"
 
 
+def list_date_partitions(spark: SparkSession, path: str) -> list[str] | None:
+    """Hive-style ``date=YYYY-MM-DD`` partition directories under ``path``,
+    via the Hadoop FileSystem API (works for file://, hdfs://, s3a://) —
+    a pure metadata listing, no data scan. None if the layout isn't
+    date-partitioned."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    days = [
+        st.getPath().getName()[5:]
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("date=")
+    ]
+    return sorted(days) or None
+
+
 def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
     """Execute (or resume) a rollup job; returns the metrics summary."""
     raw = spark.read.parquet(spec.input_path)
     man = Manifest(spark, f"{spec.output_root}/_manifest", spec.job_id)
 
-    # --- split: enumerate day units (partition listing at scale, not a scan)
-    days = sorted(
-        r.d.isoformat() for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
-    )
+    # --- split: enumerate day units. Preferred input layout is
+    # date-partitioned (date=YYYY-MM-DD): discovery is a pure partition
+    # LISTING and each unit's filter partition-prunes the scan. A flat
+    # layout falls back to a ts-column-pruned distinct — a one-column scan
+    # of the whole input before any work; fine at test scale, a documented
+    # cost at 100 TB (repartition the landing zone by date instead).
+    part_days = list_date_partitions(spark, spec.input_path)
+    if part_days is not None:
+        import datetime as _dt
+
+        days = part_days
+        # typed date literals: ANSI mode forbids implicit string<->date in
+        # In(); typed literals also keep the predicate partition-prunable
+        day_filter = lambda batch: F.col("date").isin(  # noqa: E731
+            [_dt.date.fromisoformat(d) for d in batch]
+        )
+    else:
+        days = sorted(
+            r.d.isoformat() for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        day_filter = lambda batch: F.to_date("ts").isin(batch)  # noqa: E731
     done = man.done_keys()
     pending = [d for d in days if d not in done]
     if spec.max_units is not None:
@@ -78,7 +113,7 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
     ]
     for batch in batches:
         t0 = time.time()
-        sl = raw.filter(F.to_date("ts").isin(batch))
+        sl = raw.filter(day_filter(batch))
         if spec.colocate:
             sl = colocate_by_series(sl, n_parts)
         sl = sl.cache()
@@ -108,11 +143,15 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             # batch sizes. The repartition by (tier, date) bounds output files
             # — without it every hash(conv) task writes into every date dir
             # (tasks x dates files + slow commit); AQE right-sizes partitions.
+            # partitionOverwriteMode pinned PER WRITE: with a user-supplied
+            # session (default static) a batch overwrite would wipe ALL
+            # previously written partitions and a resume would delete
+            # completed days' output
             union.withColumn("date", F.to_date("bucket_start")).repartition(
                 F.col("tier"), F.col("date")
-            ).write.mode("overwrite").partitionBy("tier", "date").parquet(
-                f"{spec.output_root}/tiers"
-            )
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("tier", "date").parquet(f"{spec.output_root}/tiers")
             chunks = encode_chunks(
                 sl,
                 value=F.expr(spec.value_expr).cast("double"),
@@ -121,9 +160,9 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             ).cache()
             chunks.withColumn("date", F.to_date("chunk_start")).repartition(
                 F.col("date")
-            ).write.mode("overwrite").partitionBy("date").parquet(
-                f"{spec.output_root}/chunks"
-            )
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("date").parquet(f"{spec.output_root}/chunks")
             # per-day lineage metrics in one pass over the (small) chunk table
             day_metrics = {
                 r.d.isoformat(): r

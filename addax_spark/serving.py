@@ -57,15 +57,33 @@ def query_range(
         df = df.filter(F.col("conv_id").isin(conv_ids))
     df = df.drop("tier", "date")
     if fill:
+        # floor the spine bounds to the served tier's bucket grid: an
+        # unaligned t0 (e.g. ...:00:30 against a 1m tier, or any sub-day t0
+        # when the ladder picked 1d) would otherwise miss every stored
+        # bucket_start and return all-gap rows. Last spine bucket = the
+        # bucket containing t1 - 1us (bucket_start strictly < t1).
+        from .operators.bucketize import TIERS
+
+        step = TIERS[tier]
         df = gapfill(
             df,
             tier,
             ["avg_len"],
             methods=(fill,),
-            start=F.to_timestamp(F.lit(t0)),
-            end=F.to_timestamp(F.lit(t1)) - F.expr("interval 1 second"),
+            start=F.to_timestamp(F.lit(_floor_to_step(t0, step))),
+            end=F.to_timestamp(F.lit(_floor_to_step(t1, step, minus_us=1))),
         )
     return df
+
+
+def _floor_to_step(ts: str, step_s: int, minus_us: int = 0) -> str:
+    """ISO timestamp floored to a step-second bucket grid (UTC, integer us)."""
+    d = dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc)
+    us = (int(d.timestamp()) * 1_000_000 + d.microsecond) - minus_us
+    us -= us % (step_s * 1_000_000)
+    return dt.datetime.fromtimestamp(us // 1_000_000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
 
 
 def read_points(

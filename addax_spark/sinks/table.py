@@ -106,7 +106,8 @@ def upsert(
             cond = c if cond is None else (cond | c)
         existing = existing.filter(cond)
     merged = existing.join(df.select(*keys), keys, "left_anti").unionByName(df)
-    out = merged.cache()
-    out.count()  # materialize before overwriting the files being read
+    # localCheckpoint TRUNCATES lineage (cache() does not: an executor loss
+    # or block eviction mid-commit would recompute from the very files the
+    # overwrite below is deleting — silent data loss on a real cluster)
+    out = merged.localCheckpoint(eager=True)
     write_table(out, target, "overwrite_partitions" if partition_by else "truncate", partition_by)
-    out.unpersist()

@@ -44,15 +44,43 @@ OUTPUT_SCHEMA = T.StructType(
 SESSION_GAP_S = 1800
 
 
-def _make_update(evict_idle: bool):
+IDLE_TIMEOUT_MS = 24 * 3600 * 1000
+
+
+def _make_update(evict_idle: bool, idle_timeout_ms: int = IDLE_TIMEOUT_MS):
     def update(key, pdfs, state):
-        yield from _update(key, pdfs, state, evict_idle)
+        yield from _update(key, pdfs, state, evict_idle, idle_timeout_ms)
 
     return update
 
 
-def _update(key, pdfs, state: GroupState, evict_idle: bool = False):
+def _update(
+    key,
+    pdfs,
+    state: GroupState,
+    evict_idle: bool = False,
+    idle_timeout_ms: int = IDLE_TIMEOUT_MS,
+):
     (conv_id,) = key
+    if state.hasTimedOut:
+        # timeout invocation: the batch iterator is EMPTY (pd.concat would
+        # raise) — emit the group's final row and actually evict the state,
+        # which is the whole point of the bounded-state mode
+        n, s, lt, li, ns = state.get if state.exists else (0, 0, None, None, 0)
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": n,
+                    "sum_len": s,
+                    "last_ts_us": lt,
+                    "last_turn_idx": li,
+                    "n_sessions": ns,
+                }
+            ]
+        )
+        return
     if state.exists:
         n, s, lt, li, ns = state.get
     else:
@@ -83,7 +111,7 @@ def _update(key, pdfs, state: GroupState, evict_idle: bool = False):
             lt, li = b_lt, b_li
     state.update((n, s, lt, li, ns))
     if evict_idle:
-        state.setTimeoutDuration(24 * 3600 * 1000)  # close after a day idle
+        state.setTimeoutDuration(idle_timeout_ms)  # close idle conversations
     yield pd.DataFrame(
         [
             {
@@ -98,19 +126,23 @@ def _update(key, pdfs, state: GroupState, evict_idle: bool = False):
     )
 
 
-def stream_conversation_state(stream: DataFrame, evict_idle: bool = False) -> DataFrame:
+def stream_conversation_state(
+    stream: DataFrame, evict_idle: bool = False, idle_timeout_ms: int = IDLE_TIMEOUT_MS
+) -> DataFrame:
     """Per-conversation running aggregates + session counts.
 
     evict_idle=True uses ProcessingTimeTimeout to drop conversations idle
-    for a day — the bounded-state mode for continuous deployments. Leave
-    False for drain-style runs: a ProcessingTimeTimeout query under
-    Trigger.AvailableNow never terminates (Spark keeps scheduling
-    timeout-handling batches — measured, not documented upstream)."""
+    for ``idle_timeout_ms`` (default a day) — the bounded-state mode for
+    continuous deployments; the timed-out group emits a final row and its
+    state is removed. Leave False for drain-style runs: a
+    ProcessingTimeTimeout query under Trigger.AvailableNow never terminates
+    (Spark keeps scheduling timeout-handling batches — measured, not
+    documented upstream)."""
     return (
         stream.select("conv_id", "turn_idx", "text", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_update(evict_idle),
+            _make_update(evict_idle, idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

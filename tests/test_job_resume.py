@@ -104,3 +104,31 @@ def test_retention_expire_and_compact(spark, raw_path, tmp_path_factory):
     assert before.exceptAll(after).count() == 0
     assert nfiles_after <= nfiles_before
     before.unpersist()
+
+
+def test_date_partitioned_input_discovery(spark, raw_path, tmp_path_factory):
+    """date=-partitioned input: units come from a partition LISTING (no data
+    scan) and per-unit filters partition-prune; outputs identical to the
+    flat-layout run."""
+    from addax_spark.job import list_date_partitions
+
+    part_in = str(tmp_path_factory.mktemp("jobraw_part") / "t")
+    raw = spark.read.parquet(raw_path)
+    raw.withColumn("date", F.to_date("ts")).write.partitionBy("date").parquet(part_in)
+
+    listed = list_date_partitions(spark, part_in)
+    exp_days = sorted(
+        r.d.isoformat() for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert listed == exp_days
+    assert list_date_partitions(spark, raw_path) is None  # flat layout -> fallback
+
+    out_flat = str(tmp_path_factory.mktemp("job_flat"))
+    out_part = str(tmp_path_factory.mktemp("job_part"))
+    run(spark, RollupJobSpec(raw_path, out_flat, job_id="flatrun"))
+    res = run(spark, RollupJobSpec(part_in, out_part, job_id="partrun"))
+    assert res["units"] == len(exp_days)
+    for tier in ["1m", "1d"]:
+        a, b = _table(spark, out_flat, tier), _table(spark, out_part, tier)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier

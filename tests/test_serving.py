@@ -90,3 +90,29 @@ def test_per_turn_text_equality_invariant(spark, served):
     # and UTF-8 content survives byte-exactly (edge conversation)
     utf = orig.filter("conv_id = 'edge-utf8'").collect()[0].text
     assert "تجربة" in utf and "🚀" in utf and "\n" in utf
+
+
+def test_query_range_gapfill_unaligned_bounds(spark, served):
+    """An unaligned t0/t1 (:30 seconds against a 1m tier) must floor to the
+    tier grid — otherwise every spine bucket misses every stored bucket and
+    the whole window comes back as null-filled gaps."""
+    raw, out = served
+    t0a, t1a = "2025-01-01 10:00:00", "2025-01-01 12:00:00"
+    present = [
+        r.conv_id
+        for r in serving.query_range(spark, out, t0a, t1a, tier="1m")
+        .select("conv_id").distinct().limit(2).collect()
+    ]
+    g = serving.query_range(
+        spark, out, "2025-01-01 10:00:30", "2025-01-01 11:59:30",
+        tier="1m", fill="locf", conv_ids=present,
+    )
+    rows = g.collect()
+    per_conv = {}
+    for r in rows:
+        per_conv.setdefault(r.conv_id, []).append(r)
+    # floored spine: [10:00, 11:59] inclusive = 120 buckets, and observed
+    # rows actually align (not all-gap)
+    for cid, rs in per_conv.items():
+        assert len(rs) == 120, cid
+        assert any(r.fill_method == "observed" for r in rs), f"{cid}: all gaps"

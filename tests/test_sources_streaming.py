@@ -178,3 +178,72 @@ def test_table_upsert(spark, tmp_path):
     upsert(spark, delta, t, ["id"], ["part"])
     got = {r.id: (r.part, r.v) for r in read_table(spark, t).collect()}
     assert got == {1: ("a", "old1"), 2: ("a", "new2"), 3: ("b", "old3"), 4: ("a", "new4")}
+
+
+def test_stateful_timeout_evicts_state(spark, tmp_path):
+    """ProcessingTimeTimeout expiry: the timed-out group is invoked with an
+    EMPTY batch iterator (must not pd.concat-crash), emits a final row, and
+    its state is REMOVED — a later arrival restarts the counts from zero."""
+    import time
+
+    from addax_spark.schema import TRANSCRIPTS
+    from addax_spark.streaming.rollup_stream import read_transcript_stream
+    from addax_spark.streaming.stateful import stream_conversation_state
+
+    src = str(tmp_path / "timeout_src")
+    os.makedirs(src)
+
+    def arrive(conv, n, t0):
+        rows = [(conv, i, "user", "x" * 5, None, t0 + i) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string, _s long"
+        ).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.timestamp_seconds(F.col("_s")).alias("ts"),
+        )
+        spark.createDataFrame(df.collect(), TRANSCRIPTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    arrive("conv-a", 3, 1_700_000_000)
+    q = (
+        stream_conversation_state(
+            read_transcript_stream(spark, src, max_files_per_trigger=1),
+            evict_idle=True,
+            idle_timeout_ms=500,
+        )
+        .writeStream.format("memory")
+        .queryName("timeout_state")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def wait_for(pred, desc, timeout=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if pred():
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {desc}")
+
+        sink = lambda: spark.table("timeout_state")  # noqa: E731
+        wait_for(lambda: sink().filter("conv_id = 'conv-a'").count() >= 1, "batch 1")
+        time.sleep(2)  # let conv-a's 500ms processing-time timeout expire
+        arrive("conv-b", 2, 1_700_000_100)  # a new batch fires the timeout
+        wait_for(
+            lambda: sink().filter("conv_id = 'conv-a'").count() >= 2,
+            "timeout emission for conv-a",
+        )
+        # state was evicted: a later arrival restarts from zero
+        arrive("conv-a", 2, 1_700_009_000)
+        wait_for(
+            lambda: sink().filter("conv_id = 'conv-a' and n_turns = 2").count() >= 1,
+            "fresh state after eviction",
+        )
+        rows = sink().filter("conv_id = 'conv-a'").collect()
+        assert any(r.n_turns == 3 for r in rows)  # pre-timeout total
+        assert any(r.n_turns == 2 for r in rows)  # restarted, not 5
+        assert not any(r.n_turns == 5 for r in rows), "state survived eviction"
+    finally:
+        q.stop()
