@@ -37,19 +37,46 @@ _OPS = {">": "__gt__", "<": "__lt__", ">=": "__ge__", "<=": "__le__", "=": "__eq
 
 def dx_filter(df: DataFrame, col: str, op: str, value) -> DataFrame:
     """Drop records matching the predicate (reference semantics: filter-OUT,
-    FilterTransformer.java:51-105; 'like' = anchored Java-regex match)."""
+    FilterTransformer.java:51-105; 'like' = anchored Java-regex match).
+
+    Null-field semantics preserved exactly (FilterTransformer.java:110-393):
+    - >, >=, <, <=: null skips the comparison -> record KEPT (:110-113,185-188)
+    - =  : null dropped iff the literal is "null" (case-insensitive), else
+           kept (:269-277); non-null fields compare against the literal
+    - != : null KEPT iff the literal is "null", else DROPPED (:327-335)
+    - like: null kept (:375-384); not like: null DROPPED (:386-395)
+    """
     c = F.col(col)
+    is_null_literal = isinstance(value, str) and value.lower() == "null"
+    if not is_null_literal and isinstance(value, str):
+        # config paras arrive stringly (the reference's columns are stringly
+        # typed); ANSI mode forbids implicit string<->numeric comparison, so
+        # coerce the literal to the column's type — a malformed literal
+        # raises, matching the reference's NumberFormatException
+        dtype = dict(df.dtypes).get(col)
+        if dtype and dtype != "string" and not dtype.startswith(("array", "struct", "map")):
+            value = F.lit(value).cast(dtype)
+    v = value if isinstance(value, Column) else F.lit(value)
     if op == "like":
-        drop = c.rlike(f"^(?:{value})$")
-    elif op == "not like":
-        drop = ~c.rlike(f"^(?:{value})$")
+        drop = c.isNotNull() & c.rlike(f"^(?:{value})$")
+    elif op in ("not like", "notLike"):
+        drop = c.isNull() | ~c.rlike(f"^(?:{value})$")
+    elif op == "=":
+        if is_null_literal:
+            drop = c.isNull() | F.coalesce(c == v, F.lit(False))
+        else:
+            drop = F.coalesce(c == v, F.lit(False))
+    elif op == "!=":
+        if is_null_literal:
+            drop = c.isNotNull() & F.coalesce(c != v, F.lit(False))
+        else:
+            drop = c.isNull() | F.coalesce(c != v, F.lit(False))
     elif op in _OPS:
-        drop = getattr(c, _OPS[op])(F.lit(value))
+        # null "skips comparison" -> kept
+        drop = F.coalesce(getattr(c, _OPS[op])(v), F.lit(False))
     else:
         raise ValueError(f"dx_filter: unknown op {op!r}")
-    # null comparison never matches -> record kept (reference keeps nulls on
-    # >/<; = 'null' handled by caller with isNull)
-    return df.filter(~F.coalesce(drop, F.lit(False)))
+    return df.filter(~drop)
 
 
 def dx_substr(df: DataFrame, col: str, start: int, length: int) -> DataFrame:
@@ -89,6 +116,16 @@ def dx_map(df: DataFrame, col: str, op: str, operand: str) -> DataFrame:
     reference's stringly columns."""
     c = F.col(col).cast("decimal(38,10)")
     o = F.lit(operand).cast("decimal(38,10)")
+    if op == "^":
+        # BigDecimal.pow with an integer exponent (MathUtil.java:96-101):
+        # exact repeated decimal multiplication, not double pow
+        k = int(operand)
+        if not 0 <= k <= 32:
+            raise ValueError(f"dx_map '^' exponent out of range: {k}")
+        res = F.lit(1).cast("decimal(38,10)")
+        for _ in range(k):
+            res = (res * c).cast("decimal(38,10)")
+        return df.withColumn(col, res)
     res = {
         "+": c + o,
         "-": c - o,

@@ -102,8 +102,21 @@ def _to_java_format(fmt: str) -> str:
 # ----------------------------------------------------- dirty-record policy
 
 
+def _try_cast(col: str, typ: str, fmt: str | None = None):
+    """try_cast, with format-aware date/timestamp parsing (ANSI-safe: a
+    malformed value yields null instead of a runtime error)."""
+    c = F.col(col)
+    if typ in ("date", "timestamp") and fmt:
+        t = F.try_to_timestamp(c, F.lit(fmt))
+        return t.cast("date") if typ == "date" else t
+    return c.try_cast(typ)
+
+
 def quarantine(
-    df: DataFrame, casts: dict[str, str]
+    df: DataFrame,
+    casts: dict[str, str],
+    with_reason: bool = False,
+    formats: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split rows into (clean, dirty) under typed casts.
 
@@ -112,16 +125,35 @@ def quarantine(
     (transport/exchanger/TransformerExchanger.java:129-133;
     ErrorRecordChecker budgets at core/.../util/ErrorRecordChecker.java:
     49-105). Here try_cast marks failures as null-with-original-non-null;
-    dirty rows keep their original values for the quarantine sink."""
+    dirty rows keep their original values for the quarantine sink.
+
+    with_reason=True adds an ``_error_reason`` column to the dirty side
+    naming every failing (column, target-type, offending value) — the
+    record + exception context the reference's StdoutPluginCollector logs
+    per dirty row, persisted instead of printed."""
+    formats = formats or {}
     clean = df
     dirty_pred = F.lit(False)
     for col, typ in casts.items():
-        ok = F.col(col).try_cast(typ)
+        ok = _try_cast(col, typ, formats.get(col))
         dirty_pred = dirty_pred | (F.col(col).isNotNull() & ok.isNull())
     dirty = df.filter(dirty_pred)
     clean = df.filter(~dirty_pred)
+    if with_reason:
+        reasons = [
+            F.when(
+                F.col(col).isNotNull() & _try_cast(col, typ, formats.get(col)).isNull(),
+                F.concat(
+                    F.lit(f"{col} !~ {typ}: '"), F.col(col).cast("string"), F.lit("'")
+                ),
+            )
+            for col, typ in casts.items()
+        ]
+        dirty = dirty.withColumn(
+            "_error_reason", F.array_join(F.array_compact(F.array(*reasons)), "; ")
+        )
     for col, typ in casts.items():
-        clean = clean.withColumn(col, F.col(col).cast(typ))
+        clean = clean.withColumn(col, _try_cast(col, typ, formats.get(col)))
     return clean, dirty
 
 
