@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_value_1h"] = api.rollup_value_1h
     q["pricing_summary"] = api.pricing_summary
     q["revenue_by_nation"] = api.revenue_by_nation
+    q["local_supplier_volume"] = api.local_supplier_volume
+    q["brand_part_stats"] = api.brand_part_stats
     return q
 
 
@@ -74,6 +76,8 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_value_1h"] = api.ORACLE_ROLLUP_VALUE_SQL
     o["pricing_summary"] = api.ORACLE_PRICING_SQL
     o["revenue_by_nation"] = api.ORACLE_REVENUE_SQL
+    o["local_supplier_volume"] = api.ORACLE_LOCAL_SUPPLIER_SQL
+    o["brand_part_stats"] = api.ORACLE_BRAND_PART_SQL
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

@@ -553,6 +553,96 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table star join —
+    customer/orders/lineitem/supplier/nation/region — restricted to one
+    region and one order year, revenue only where the customer's and the
+    supplier's nation coincide. Covers the full dimension set (region,
+    supplier, part-side keys) the driver tables provide. Dimensions are
+    broadcast (region/nation always; supplier is rows-small here and under
+    the auto threshold — at 100 TB the supplier side may grow past
+    broadcast and falls back to a shuffle join on s_suppkey, which is the
+    correct plan there)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    y0, y1 = F.lit("1996-01-01").cast("date"), F.lit("1997-01-01").cast("date")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") & (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: lineitem x part (broadcast) per brand —
+    quantity, revenue (decimal-exact), distinct parts, and derived
+    revenue-per-unit (exact ratio of decimal-exact doubles)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn("revenue_per_item", F.col("revenue") / F.col("n_items"))
+    )
+
+
+ORACLE_BRAND_PART_SQL = """
+SELECT p_brand,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+       (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS revenue,
+       count(DISTINCT p_partkey) AS n_parts,
+       count(*) AS n_items,
+       (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE / count(*) AS revenue_per_item
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 ORACLE_REVENUE_SQL = """
 SELECT n_name,
        (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS revenue,

@@ -218,8 +218,9 @@ def _storage_reader(spark: SparkSession, p: dict, jobspec: ComposedJob) -> DataF
         columns.append(ColumnSpec(type="string", index=c.get("index", i), name=name))
         if typ != "string" and fmt in ("csv", "text", "json"):
             casts[name] = typ
-            if c.get("format"):
-                formats[name] = c["format"]
+            extra = p.get("extraFormats") or []  # ColumnCast fallback chain
+            if c.get("format") or extra:
+                formats[name] = ([c["format"]] if c.get("format") else []) + list(extra)
     spec = StorageReadSpec(
         path=p["path"] if isinstance(p.get("path"), str) else p["path"][0],
         fmt=fmt,
@@ -312,8 +313,18 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
         tbl = conn.get("table")
         tbl = tbl[0] if isinstance(tbl, list) else tbl
         n = df.count()
-        mode = {"insert": "append", "append": "append", "truncate": "overwrite",
-                "replace": "overwrite"}.get((p.get("writeMode") or "insert").lower(), "append")
+        wm = (p.get("writeMode") or "insert").lower()
+        if wm in ("update", "replace"):
+            # Spark's jdbc writer has no keyed upsert; the table-sink verbs
+            # (sinks.table.upsert / sinks.table.replace) carry these
+            # semantics — point migrated jobs there rather than silently
+            # truncating the target
+            raise ValueError(
+                f"writeMode={wm} on a jdbc sink needs dialect SQL the Spark "
+                "jdbc writer lacks; use the table sink (icebergwriter) with "
+                "sinks.table.upsert/replace"
+            )
+        mode = {"insert": "append", "append": "append", "truncate": "overwrite"}.get(wm, "append")
         (
             df.write.format("jdbc").mode(mode)
             .option("url", url).option("dbtable", tbl)

@@ -106,6 +106,38 @@ def upsert(
             cond = c if cond is None else (cond | c)
         existing = existing.filter(cond)
     merged = existing.join(df.select(*keys), keys, "left_anti").unionByName(df)
+    _commit_merged(spark, merged, df, target, partition_by)
+
+
+def replace(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """writeMode=replace: delete-then-insert by key (the reference's
+    REPLACE INTO / delete+insert dialect templates, distinct from update's
+    column-wise upsert — WriterUtil.java:209-309).
+
+    For whole-row records on the table sink the two verbs coincide (the
+    engine always writes complete rows, so "update every column" ==
+    "delete the old row, insert the new one"); replace() is provided as its
+    own verb so a migrated writeMode=replace job keeps its meaning, and the
+    catalog path issues an explicit delete-then-insert MERGE."""
+    if _is_catalog_table(target):
+        df.createOrReplaceTempView("_replace_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {target} t USING _replace_src s ON {on} "
+            "WHEN MATCHED THEN DELETE"
+        )
+        df.writeTo(target).append()
+        return
+    upsert(spark, df, target, keys, partition_by)
+
+
+def _commit_merged(spark, merged, df, target, partition_by):
     # localCheckpoint TRUNCATES lineage (cache() does not: an executor loss
     # or block eviction mid-commit would recompute from the very files the
     # overwrite below is deleting — silent data loss on a real cluster)

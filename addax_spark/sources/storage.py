@@ -47,6 +47,10 @@ class StorageReadSpec:
     null_format: str | None = None
     encoding: str = "UTF-8"
     columns: list[ColumnSpec] = field(default_factory=list)
+    # global datetime fallback chain (the reference's ColumnCast extraFormats,
+    # core/.../element/ColumnCast.java:85-138): a date/timestamp column tries
+    # its own `format` first, then each extra format, then Spark's default
+    extra_formats: list[str] = field(default_factory=list)
 
 
 def read_storage(spark: SparkSession, spec: StorageReadSpec) -> DataFrame:
@@ -84,8 +88,9 @@ def read_storage(spark: SparkSession, spec: StorageReadSpec) -> DataFrame:
             col = F.col(src[c.index])
         else:
             col = F.col(c.name)
-        if c.type in ("date", "timestamp") and c.format:
-            col = F.to_timestamp(col, _to_java_format(c.format))
+        if c.type in ("date", "timestamp") and (c.format or spec.extra_formats):
+            fmts = ([c.format] if c.format else []) + list(spec.extra_formats)
+            col = parse_datetime(col, fmts)
             if c.type == "date":
                 col = col.cast("date")
         else:
@@ -94,20 +99,29 @@ def read_storage(spark: SparkSession, spec: StorageReadSpec) -> DataFrame:
     return df.select(*cols)
 
 
-def _to_java_format(fmt: str) -> str:
-    return fmt  # reference uses Java SimpleDateFormat patterns; Spark's
-    # DateTimeFormatter patterns are compatible for the y/M/d/H/m/s subset
+def parse_datetime(col, fmts: list[str]):
+    """Fallback-chain datetime parse (ColumnCast.java:85-138 extraFormats):
+    try each pattern in order, then Spark's default parser; ANSI-safe (a
+    value no pattern accepts becomes null -> quarantine as a dirty record,
+    not a runtime error). Patterns are Java SimpleDateFormat-compatible for
+    the y/M/d/H/m/s subset the reference configs use."""
+    c = col if not isinstance(col, str) else F.col(col)
+    tries = [F.try_to_timestamp(c, F.lit(f)) for f in fmts]
+    tries.append(F.try_to_timestamp(c))
+    return F.coalesce(*tries)
 
 
 # ----------------------------------------------------- dirty-record policy
 
 
-def _try_cast(col: str, typ: str, fmt: str | None = None):
+def _try_cast(col: str, typ: str, fmt: str | list[str] | None = None):
     """try_cast, with format-aware date/timestamp parsing (ANSI-safe: a
-    malformed value yields null instead of a runtime error)."""
+    malformed value yields null instead of a runtime error). ``fmt`` may be
+    a single pattern or a fallback chain (extraFormats)."""
     c = F.col(col)
     if typ in ("date", "timestamp") and fmt:
-        t = F.try_to_timestamp(c, F.lit(fmt))
+        fmts = [fmt] if isinstance(fmt, str) else list(fmt)
+        t = parse_datetime(c, fmts)
         return t.cast("date") if typ == "date" else t
     return c.try_cast(typ)
 

@@ -247,3 +247,67 @@ def test_stateful_timeout_evicts_state(spark, tmp_path):
         assert not any(r.n_turns == 5 for r in rows), "state survived eviction"
     finally:
         q.stop()
+
+
+def test_kafka_record_parse_roundtrip(spark):
+    """kafkareader's JSON->columns mapping as a pure transformation: record
+    value bytes -> typed transcript rows -> back to writer records."""
+    from addax_spark.streaming.kafka import parse_transcript_records, to_kafka_records
+    from addax_spark import synth
+
+    df = synth.transcripts(spark, n_convs=5, avg_turns=4)
+    records = to_kafka_records(df)  # key=conv_id, value=JSON
+    assert dict(records.dtypes) == {"key": "string", "value": "string"}
+    back = parse_transcript_records(records.select(F.col("value").cast("binary").alias("value")))
+    assert back.count() == df.count()
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    assert back.select(cols).exceptAll(df.select(cols)).count() == 0
+    # malformed value -> all-null row (dirty record), not a crash
+    bad = spark.createDataFrame([(bytearray(b"{not json"),)], "value binary")
+    r = parse_transcript_records(bad).collect()[0]
+    assert r.conv_id is None and r.ts is None
+
+
+def test_extra_formats_fallback_chain(spark, tmp_path):
+    """ColumnCast extraFormats: a timestamp column parsed through a format
+    fallback chain; a value no pattern accepts quarantines as dirty."""
+    p = tmp_path / "fmt.csv"
+    p.write_text(
+        "1,2024-01-05 10:00:00\n2,2024/01/05 11:30\n3,05.01.2024\n4,whenever\n"
+    )
+    spec = StorageReadSpec(
+        path=str(p),
+        fmt="csv",
+        columns=[
+            ColumnSpec(type="long", index=0, name="id"),
+            ColumnSpec(type="timestamp", index=1, name="ts", format="yyyy-MM-dd HH:mm:ss"),
+        ],
+        extra_formats=["yyyy/MM/dd HH:mm", "dd.MM.yyyy"],
+    )
+    rows = {r.id: r.ts for r in read_storage(spark, spec).collect()}
+    assert rows[1].hour == 10 and rows[2].minute == 30 and rows[3].day == 5
+    assert rows[4] is None  # no pattern matched -> null, quarantinable
+    # quarantine path with the same chain
+    raw = spark.createDataFrame([("2024/01/05 11:30",), ("whenever",)], "ts string")
+    clean, dirty = quarantine(
+        raw, {"ts": "timestamp"}, with_reason=True,
+        formats={"ts": ["yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm"]},
+    )
+    assert clean.count() == 1 and dirty.count() == 1
+    assert "ts !~ timestamp" in dirty.collect()[0]._error_reason
+
+
+def test_table_replace_mode(spark, tmp_path):
+    """writeMode=replace: delete-then-insert by key — whole-row equivalence
+    with upsert on the parquet-dir sink."""
+    from addax_spark.sinks.table import read_table, replace
+
+    t = str(tmp_path / "rep")
+    base = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "a", "old2")], "id long, part string, v string"
+    )
+    replace(spark, base, t, ["id"], ["part"])
+    delta = spark.createDataFrame([(2, "a", "new2"), (3, "b", "new3")], "id long, part string, v string")
+    replace(spark, delta, t, ["id"], ["part"])
+    got = {r.id: r.v for r in read_table(spark, t).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "new3"}
