@@ -42,7 +42,14 @@ class RollupJobSpec:
     tiers: list[str] = field(default_factory=lambda: list(TIER_ORDER))
     chunk_tier: str = "1d"
     job_id: str = ""
-    colocate: bool = True
+    # colocate=True pre-shuffles FULL raw rows once and caches them so every
+    # tier + the chunk encode read one shared exchange. Measured at 6M turns
+    # / local[8]: the raw-row shuffle + cache materialization costs MORE
+    # (50s) than letting each consumer run its own COLUMN-PRUNED shuffle
+    # (rollup shuffles map-side-combined partials, encode shuffles
+    # (conv, ts, value) without text) — and caching raw is impossible at
+    # 100 TB anyway. Default False; True remains for small hot slices.
+    colocate: bool = False
     n_partitions: int | None = None
     value_expr: str = "length(text)"
     order_cols: tuple[str, ...] = ("ts", "turn_idx")
@@ -51,6 +58,12 @@ class RollupJobSpec:
     # covers the whole batch (amortizes per-action overhead); the manifest
     # records each day so resume granularity stays per-day
     unit_batch: int = 16
+    # job-level lifecycle hooks — the reference's preHandle/postHandle
+    # (JobContainer.java:106-189): pre_hook(spark, spec) runs before unit
+    # discovery, post_hook(spark, spec, summary) after the summary is built
+    # (retention sweeps and catalog registration live here)
+    pre_hook: object | None = None
+    post_hook: object | None = None
 
     def __post_init__(self):
         if not self.job_id:
@@ -77,6 +90,8 @@ def list_date_partitions(spark: SparkSession, path: str) -> list[str] | None:
 
 def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
     """Execute (or resume) a rollup job; returns the metrics summary."""
+    if spec.pre_hook is not None:
+        spec.pre_hook(spark, spec)
     raw = spark.read.parquet(spec.input_path)
     man = Manifest(spark, f"{spec.output_root}/_manifest", spec.job_id)
 
@@ -114,9 +129,10 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
     for batch in batches:
         t0 = time.time()
         sl = raw.filter(day_filter(batch))
+        cached_raw = False
         if spec.colocate:
-            sl = colocate_by_series(sl, n_parts)
-        sl = sl.cache()
+            sl = colocate_by_series(sl, n_parts).cache()
+            cached_raw = True
         try:
             # build the cascade incrementally, caching each tier BEFORE the
             # next derives from it — the cached subtree must be the exact
@@ -196,9 +212,12 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 man.mark_failed(day)
             raise
         finally:
-            sl.unpersist()
+            if cached_raw:
+                sl.unpersist()
 
     summary = man.metrics_summary()
     summary["units_total"] = len(days)
     summary["units_skipped_resume"] = len(done)
+    if spec.post_hook is not None:
+        spec.post_hook(spark, spec, summary)
     return summary

@@ -340,6 +340,38 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
 # ----------------------------------------------------------------- execution
 
 
+def pre_check(spark: SparkSession, cfg: str | dict) -> dict[str, Any]:
+    """Dry-run validation — the reference's preCheck path
+    (JobContainer.java:191-269 + PreCheckTask.java): verify the reader
+    resolves (connectivity/permissions/schema), the transformer chain
+    compiles against the resolved columns, and the writer config is
+    dispatchable — WITHOUT moving data. Spark mapping per SURVEY §3.3:
+    schema assert + explain on a LIMIT 0 plan."""
+    jobspec = job_from_config(load_config(cfg))
+    df = _read(spark, jobspec)
+    probe = df.limit(0)
+    if jobspec.casts:
+        probe, _ = quarantine(probe, jobspec.casts, formats=jobspec.formats)
+    resolved = [
+        Transform(t.name, (probe.columns[t.args[0]], *t.args[1:])) for t in jobspec.transforms
+    ]
+    probe = chain(probe, resolved)
+    probe.collect()  # executes the empty plan: resolution + codegen checked
+    wname = jobspec.writer_name
+    if not (
+        wname == "streamwriter" or wname in STORAGE_WRITERS
+        or wname in JDBC_WRITERS or wname == "icebergwriter"
+    ):
+        raise ValueError(f"unsupported writer {wname!r}")
+    return {
+        "ok": True,
+        "columns": probe.columns,
+        "schema": probe.schema.simpleString(),
+        "dirty_cast_columns": sorted(jobspec.casts),
+        "plan": probe._jdf.queryExecution().simpleString(),
+    }
+
+
 def run_job(spark: SparkSession, cfg: str | dict) -> dict[str, Any]:
     """Load + execute a reference-shaped job config; returns metrics
     (the reference's end-of-job Communication report: read/write/dirty

@@ -148,3 +148,42 @@ def test_dx_filter_null_literal_semantics(spark):
     assert keep(">", "a") == ["<null>", "a"]  # nulls skip comparison
     assert keep("like", "a.*") == ["<null>", "b", "null"]
     assert keep("not like", "a.*") == ["a"]  # nulls dropped on not-like
+
+
+def test_pre_check_dry_run(spark, tmp_path):
+    """preCheck twin (JobContainer.java:191-269): validates reader schema,
+    transformer resolution and writer dispatch on a LIMIT 0 plan — no data
+    moved, no output written."""
+    import os
+
+    from addax_spark.jobconfig import pre_check
+
+    src = tmp_path / "pc.csv"
+    src.write_text("1,alice,2.5\n")
+    out = str(tmp_path / "pc_out")
+    res = pre_check(spark, _csv_job(str(src), out))
+    assert res["ok"] and res["columns"] == ["id", "name", "score"]
+    assert res["dirty_cast_columns"] == ["id", "score"]
+    assert not os.path.exists(out)  # nothing written
+    bad = _csv_job(str(src), out)
+    bad["job"]["content"]["writer"]["name"] = "nosuchwriter"
+    with pytest.raises(ValueError, match="unsupported writer"):
+        pre_check(spark, bad)
+
+
+def test_job_lifecycle_hooks(spark, tmp_path):
+    """preHandle/postHandle twins on the rollup job driver."""
+    from addax_spark import synth
+    from addax_spark.job import RollupJobSpec, run
+
+    raw = str(tmp_path / "hooks_in.parquet")
+    synth.transcripts(spark, n_convs=5, avg_turns=5).write.parquet(raw)
+    calls = []
+    spec = RollupJobSpec(
+        raw, str(tmp_path / "hooks_out"), job_id="hooks", tiers=["1m"],
+        pre_hook=lambda sp, s: calls.append(("pre", s.job_id)),
+        post_hook=lambda sp, s, summary: calls.append(("post", summary["units"])),
+    )
+    res = run(spark, spec)
+    assert calls[0] == ("pre", "hooks")
+    assert calls[1] == ("post", res["units"])
