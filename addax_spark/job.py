@@ -34,6 +34,9 @@ from .operators.gorilla import encode_chunks
 
 from .plans.partitioning import colocate_by_series, partitions_for_bytes
 
+#: writer-task fan-out per (tier, date) output cell (files per dir bound)
+_WRITE_SALT = 8
+
 
 @dataclass
 class RollupJobSpec:
@@ -162,9 +165,16 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             # partitionOverwriteMode pinned PER WRITE: with a user-supplied
             # session (default static) a batch overwrite would wipe ALL
             # previously written partitions and a resume would delete
-            # completed days' output
+            # completed days' output.
+            # The repartition key includes a small conv-hash salt: with few
+            # (tier, date) cells, keying on the partition columns alone puts
+            # an entire cell (the 1m tier of a whole day — millions of rows)
+            # through ONE writer task, a serial section that caps scaling.
+            # The salt fans each cell out to <= _WRITE_SALT tasks while
+            # keeping files-per-directory bounded at _WRITE_SALT.
+            salt = F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
             union.withColumn("date", F.to_date("bucket_start")).repartition(
-                F.col("tier"), F.col("date")
+                F.col("tier"), F.col("date"), salt
             ).write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("tier", "date").parquet(f"{spec.output_root}/tiers")
@@ -175,7 +185,7 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 order_cols=list(spec.order_cols),
             ).cache()
             chunks.withColumn("date", F.to_date("chunk_start")).repartition(
-                F.col("date")
+                F.col("date"), F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
             ).write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("date").parquet(f"{spec.output_root}/chunks")
