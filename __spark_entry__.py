@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gapfill_1m"] = api.gapfill_1m
     q["gorilla_roundtrip"] = api.gorilla_roundtrip
     q["gorilla_chunk_stats"] = api.gorilla_chunk_stats
+    q["gorilla_chunk_counts"] = api.gorilla_chunk_counts
     # training-data pipeline ops (documents / embeddings)
     q["token_stats"] = api.token_stats
     q["quality_score"] = api.quality_score
@@ -71,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
     o = {f"rollup_{t}": api.oracle_rollup_sql(t) for t in ["1m", "5m", "1h", "1d"]}
     o["gapfill_1m"] = api.oracle_gapfill_sql()
     o["gorilla_roundtrip"] = api.ORACLE_GORILLA_SQL
+    o["gorilla_chunk_counts"] = api.ORACLE_GORILLA_COUNTS_SQL
     o.update(api.oracle_text_dedup_sqls())
     o.update(api.oracle_timeseries_sqls())
     o["rollup_value_1h"] = api.ORACLE_ROLLUP_VALUE_SQL

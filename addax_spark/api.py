@@ -218,6 +218,25 @@ def gorilla_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gorilla_chunk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk/point counts per conversation — the SQL-expressible half of
+    gorilla_chunk_stats, with an exact oracle: n_chunks == distinct 1d
+    buckets per conv and n_points == row count (so the chunker's grouping
+    contract is driver-verified; blob sizes remain rows-only in
+    gorilla_chunk_stats)."""
+    ch = gorilla_chunk_stats(spark, sf_dir)
+    return ch.select("conv_id", "n_chunks", F.col("n_points").cast("long").alias("n_points"))
+
+
+ORACLE_GORILLA_COUNTS_SQL = """
+SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+       count(DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000) AS n_chunks,
+       count(*) AS n_points
+FROM events
+GROUP BY conv_id
+"""
+
+
 # ===================================================================== text /
 # dedup / similarity entries (training-data pipeline ops over documents /
 # embeddings)
