@@ -51,7 +51,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.transforms import Transform, chain
+from .operators.transforms import Transform, chain, get_transformer
 from .sinks.table import write_table
 from .sources.storage import (
     ColumnSpec,
@@ -139,9 +139,16 @@ def _compile_transform(t: dict) -> Transform:
         args = (idx, paras[0], paras[1])
     elif name == "dx_filter":
         args = (idx, paras[0], paras[1])
+    elif name == "dx_groovy":
+        raise ValueError("dx_groovy is a policy exclusion — register a "
+                         "vectorized transform via register_transformer() "
+                         "and reference it by name instead")
     else:
-        raise ValueError(f"unsupported transformer {name!r} (dx_groovy is a "
-                         "policy exclusion — use vectorized pandas UDFs)")
+        # registered custom transformer (TransformerRegistry.java:45-118
+        # analog): paras pass through verbatim; resolution happens at run
+        # time so registration order vs config loading doesn't matter
+        get_transformer(name)  # fail fast on unknown names
+        args = (idx, *paras)
     return Transform(name, args)
 
 
@@ -178,19 +185,69 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
     raise ValueError(f"unsupported reader {name!r}")
 
 
+# dateIncrement unit table (StreamReader.java:571-583; validation and
+# 1-char normalization at :226-249, validUnits at :88). Reference quirk kept:
+# units normalize to their FIRST char, so "month" becomes 'm' == minute.
+_INCR_UNITS = {"d": "DAY", "M": "MONTH", "y": "YEAR", "w": "WEEK",
+               "h": "HOUR", "m": "MINUTE", "s": "SECOND"}
+_DEFAULT_DATE_FORMAT = "yyyy-MM-dd HH:mm:ss"  # core/.../base/Constant.java:28
+
+
+def _incr_column(c: dict, typ: str):
+    """streamreader `incr` column (StreamReader.java:476-513 long/date paths,
+    defaults applied by handleIncrFunction at :203-258): row i of the slice
+    gets start + i*step (long), or start advanced i*step units (date).
+
+    Deviation noted: the reference steps dates one increment per record
+    (DateUtils.addMonths repeatedly), we compute timestampadd(unit, i*step)
+    — identical except Java's end-of-month clamping for month/year steps
+    starting on day 29-31, where repeated stepping sticks to the clamped day.
+    """
+    spec = str(c["incr"])
+    fields = [s.strip() for s in spec.split(",")]
+    if typ == "long":
+        start = int(fields[0])
+        step = int(fields[1]) if len(fields) > 1 else 1
+        return (F.lit(start) + F.col("_row") * F.lit(step)).cast("long")
+    if typ in ("date", "timestamp"):
+        fmt = c.get("dateFormat", _DEFAULT_DATE_FORMAT)
+        step = int(fields[1]) if len(fields) > 1 else 1
+        unit = fields[2][0] if len(fields) > 2 else "d"
+        if unit not in _INCR_UNITS:
+            raise ValueError(f"streamreader incr: invalid date unit {fields[2]!r}")
+        start = F.to_timestamp(F.lit(fields[0]), fmt)
+        return F.timestamp_add(_INCR_UNITS[unit], (F.col("_row") * step).cast("int"), start)
+    raise ValueError(
+        f"streamreader incr supports long/date columns only, got type {typ!r} "
+        "(StreamReader.java:251-256 NOT_SUPPORT_TYPE)"
+    )
+
+
 def _stream_reader(spark: SparkSession, p: dict) -> DataFrame:
     n = int(p.get("sliceRecordCount", 0))
     df = spark.range(n).withColumnRenamed("id", "_row")
     cols = []
     for i, c in enumerate(p.get("column", [])):
         typ = c.get("type", "string")
-        typ = {"long": "long", "double": "double", "date": "timestamp",
-               "bool": "boolean", "bytes": "string", "string": "string"}.get(typ, typ)
-        if "random" in c:
-            lo, hi = (int(x) for x in str(c["random"]).split(","))
-            col = (F.pmod(F.xxhash64(F.col("_row"), F.lit(i)), F.lit(hi - lo + 1)) + lo).cast(typ)
+        spark_typ = {"long": "long", "double": "double", "date": "timestamp",
+                     "bool": "boolean", "bytes": "string", "string": "string"}.get(typ, typ)
+        # precedence per parseMixUpFunctions (StreamReader.java:175-201):
+        # an explicit `value` wins over random/incr; a column with NONE of
+        # value/random/incr is a config error (getNecessaryValue :180-182)
+        if "value" in c:
+            # the string "null" means a null column (buildOneColumn :440-442)
+            v = None if str(c["value"]).lower() == "null" else c["value"]
+            col = F.lit(v).cast(spark_typ)
+        elif "random" in c:
+            lo, hi = (int(x) for x in str(c["random"]).split(",")[:2])
+            col = (F.pmod(F.xxhash64(F.col("_row"), F.lit(i)), F.lit(hi - lo + 1)) + lo).cast(spark_typ)
+        elif "incr" in c:
+            col = _incr_column(c, typ)
         else:
-            col = F.lit(c.get("value")).cast(typ)
+            raise ValueError(
+                f"streamreader column {i} needs one of value/random/incr "
+                f"(got keys {sorted(c)}); refusing to emit nulls silently"
+            )
         cols.append(col.alias(f"col{i + 1}"))
     return df.select(*cols)
 
@@ -199,8 +256,25 @@ def _storage_reader(spark: SparkSession, p: dict, jobspec: ComposedJob) -> DataF
     fmt = (p.get("fileType") or p.get("fileFormat") or "csv").lower()
     fmt = {"text": "text", "txt": "text", "csv": "csv", "orc": "orc",
            "parquet": "parquet", "json": "json"}.get(fmt, fmt)
+    path = p["path"] if isinstance(p.get("path"), str) else p["path"][0]
+    raw_cols = p.get("column", []) or []
+    # Text-family formats read raw strings and route typed casts through the
+    # quarantine pass (dirty-record capture); parquet/orc carry NATIVE types —
+    # cast directly in the projection (no cell can be "malformed" in a typed
+    # columnar file), never via a string round-trip.
+    textual = fmt in ("csv", "text", "json")
+
+    # jsonfilereader JSONPath projection (plugin/reader/jsonfilereader
+    # plugin_job_template.json: column[].index = "$.a.b[0]"; missing leafs
+    # null via DEFAULT_PATH_LEAF_TO_NULL, JsonReader.java:219-222)
+    if fmt == "json" and any(
+        isinstance(c, dict) and isinstance(c.get("index"), str)
+        and str(c["index"]).startswith("$") for c in raw_cols
+    ):
+        return _jsonpath_reader(spark, path, raw_cols, jobspec)
+
     columns, casts, formats = [], {}, {}
-    for i, c in enumerate(p.get("column", []) or []):
+    for i, c in enumerate(raw_cols):
         if isinstance(c, str):  # "*" or bare name
             if c == "*":
                 continue
@@ -214,15 +288,19 @@ def _storage_reader(spark: SparkSession, p: dict, jobspec: ComposedJob) -> DataF
         typ = {"long": "long", "double": "double", "bool": "boolean",
                "date": "date", "timestamp": "timestamp", "string": "string",
                "bytes": "string"}.get(typ, typ)
-        # read as string; quarantine applies the typed cast with reasons
-        columns.append(ColumnSpec(type="string", index=c.get("index", i), name=name))
-        if typ != "string" and fmt in ("csv", "text", "json"):
-            casts[name] = typ
-            extra = p.get("extraFormats") or []  # ColumnCast fallback chain
-            if c.get("format") or extra:
-                formats[name] = ([c["format"]] if c.get("format") else []) + list(extra)
+        if textual:
+            # read as string; quarantine applies the typed cast with reasons
+            columns.append(ColumnSpec(type="string", index=c.get("index", i), name=name))
+            if typ != "string":
+                casts[name] = typ
+                extra = p.get("extraFormats") or []  # ColumnCast fallback chain
+                if c.get("format") or extra:
+                    formats[name] = ([c["format"]] if c.get("format") else []) + list(extra)
+        else:
+            columns.append(ColumnSpec(type=typ, index=c.get("index", i), name=name,
+                                      format=c.get("format")))
     spec = StorageReadSpec(
-        path=p["path"] if isinstance(p.get("path"), str) else p["path"][0],
+        path=path,
         fmt=fmt,
         delimiter=p.get("fieldDelimiter", ","),
         header=bool(p.get("skipHeader", p.get("header", False))),
@@ -232,6 +310,35 @@ def _storage_reader(spark: SparkSession, p: dict, jobspec: ComposedJob) -> DataF
     )
     jobspec.casts, jobspec.formats = casts, formats
     return read_storage(spark, spec)
+
+
+def _jsonpath_reader(spark: SparkSession, path: str, raw_cols: list, jobspec: ComposedJob) -> DataFrame:
+    """JSONPath-projected JSON-Lines read: one get_json_object per column
+    (JVM-side, no Python crossing); constants via F.lit. Extracted values are
+    strings — typed casts go through quarantine exactly like the csv path."""
+    cols, casts, formats = [], {}, {}
+    for i, c in enumerate(raw_cols):
+        name = c.get("name") or f"col{i + 1}"
+        typ = c.get("type", "string").lower()
+        typ = {"long": "long", "double": "double", "bool": "boolean",
+               "date": "date", "timestamp": "timestamp", "string": "string",
+               "bytes": "string"}.get(typ, typ)
+        if "value" in c and "index" in c:
+            raise ValueError(f"json column {i}: both index and value set "
+                             "(JsonReader.java:150-153)")
+        if "value" in c:
+            cols.append(F.lit(c["value"]).cast(typ).alias(name))
+            continue
+        if "index" not in c:
+            raise ValueError(f"json column {i}: either index or value is "
+                             "required (JsonReader.java:145-148)")
+        cols.append(F.get_json_object(F.col("value"), str(c["index"])).alias(name))
+        if typ != "string":
+            casts[name] = typ
+            if c.get("format"):
+                formats[name] = [c["format"]]
+    jobspec.casts, jobspec.formats = casts, formats
+    return spark.read.text(path).select(*cols)
 
 
 # ------------------------------------------------------------------- writers
@@ -263,7 +370,24 @@ def _clear_dir(path: str):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _is_path_target(name: str, target: str) -> bool:
+    """Storage writers always target paths; icebergwriter targets a catalog
+    table unless the value is visibly a filesystem location. (A bare relative
+    segment like 'out' names a catalog table — use './out' for a path.)"""
+    if name in STORAGE_WRITERS:
+        return True
+    t = str(target)
+    return ("/" in t or "\\" in t
+            or t.startswith((".", "~", "file:", "s3:", "s3a:", "hdfs:", "oss:")))
+
+
 def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
+    """Dispatch the writer and run ONE action; rows_written comes from a
+    CollectMetrics observation on that same action (the reference gathers its
+    Communication counters during its single pass, not by re-running the
+    pipeline)."""
+    from pyspark.sql import Observation
+
     name, p = jobspec.writer_name, jobspec.writer_param
     out_cols = p.get("column")
     if out_cols and out_cols != ["*"]:
@@ -277,14 +401,19 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
             df.show(n=min(n, 20), truncate=False)
         return n
 
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+
     if name in STORAGE_WRITERS or name == "icebergwriter":
         path = p.get("path") or p.get("table")
         mode = (p.get("writeMode") or "append").lower()
         pre = _render_sqls(p.get("preSql"), path)
         post = _render_sqls(p.get("postSql"), path)
-        is_path = "/" in str(path)
+        is_path = _is_path_target(name, path)
+        if mode == "nonconflict" and is_path and _dir_nonempty(path):
+            # reference nonConflict: refuse when the target already has data
+            raise RuntimeError(f"writeMode=nonConflict: target {path!r} is not empty")
         _run_lifecycle_sql(spark, pre, path if is_path else None)
-        n = df.count()
         if name == "icebergwriter" and not is_path:
             write_table(df, path, {"truncate": "truncate", "append": "append",
                                    "overwrite": "overwrite_partitions"}.get(mode, "append"))
@@ -304,15 +433,23 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
             else:
                 raise ValueError(f"unsupported writer format {fmt!r}")
         _run_lifecycle_sql(spark, post, path if is_path else None)
-        return n
+        return int(obs.get["n"])
 
     if name in JDBC_WRITERS:
+        if p.get("preSql") or p.get("postSql"):
+            # the reference runs these against the target DB per task
+            # (WriterUtil.java:104-134); without a database in reach we must
+            # not silently drop a statement like "truncate table @table"
+            raise ValueError(
+                "preSql/postSql on a jdbc sink needs a live database "
+                "connection; storage/iceberg writers run them via spark.sql — "
+                "refusing to silently drop lifecycle SQL"
+            )
         conn = (p.get("connection") or [{}])[0]
         url = conn.get("jdbcUrl")
         url = url[0] if isinstance(url, list) else url
         tbl = conn.get("table")
         tbl = tbl[0] if isinstance(tbl, list) else tbl
-        n = df.count()
         wm = (p.get("writeMode") or "insert").lower()
         if wm in ("update", "replace"):
             # Spark's jdbc writer has no keyed upsert; the table-sink verbs
@@ -332,7 +469,7 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
             .option("password", p.get("password", ""))
             .save()
         )
-        return n
+        return int(obs.get["n"])
 
     raise ValueError(f"unsupported writer {name!r}")
 
@@ -376,20 +513,29 @@ def run_job(spark: SparkSession, cfg: str | dict) -> dict[str, Any]:
     """Load + execute a reference-shaped job config; returns metrics
     (the reference's end-of-job Communication report: read/write/dirty
     counts + wall)."""
+    from pyspark.sql import Observation
+
     jobspec = job_from_config(load_config(cfg))
     t0 = time.time()
     df = _read(spark, jobspec)
-    n_read = df.count()
+    # rows_read via CollectMetrics on the pipeline's own action(s) — never a
+    # separate count() pass (at 100 TB an extra count re-scans the source).
+    # The quarantine/transform filters sit ABOVE this node, so whichever
+    # action runs first observes the full read cardinality.
+    obs_read = Observation()
+    df = df.observe(obs_read, F.count(F.lit(1)).alias("n"))
 
     n_dirty = 0
     if jobspec.casts:
         clean, dirty = quarantine(df, jobspec.casts, with_reason=True, formats=jobspec.formats)
+        obs_dirty = Observation()
+        dirty = dirty.observe(obs_dirty, F.count(F.lit(1)).alias("n"))
         err_path = _errors_path(jobspec)
         if err_path:
             dirty.write.mode("overwrite").json(err_path)
-            n_dirty = spark.read.json(err_path).count() if _dir_nonempty(err_path) else 0
         else:
-            n_dirty = dirty.count()
+            dirty.count()
+        n_dirty = int(obs_dirty.get["n"])
         df = clean
 
     # transformer chain: columnIndex -> resolved column name
@@ -399,6 +545,7 @@ def run_job(spark: SparkSession, cfg: str | dict) -> dict[str, Any]:
     df = chain(df, resolved)
 
     n_written = _write(spark, df, jobspec)
+    n_read = int(obs_read.get["n"])
     # budget enforced AFTER dirty rows are persisted (reference checks
     # post-run, ErrorRecordChecker.java:49-105; record limit has priority)
     check_error_limit(

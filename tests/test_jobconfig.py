@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -187,3 +188,159 @@ def test_job_lifecycle_hooks(spark, tmp_path):
     res = run(spark, spec)
     assert calls[0] == ("pre", "hooks")
     assert calls[1] == ("post", res["units"])
+
+
+def test_streamreader_incr_sequences(spark):
+    """streamreader incr columns (StreamReader.java:476-513): long start/step
+    with default step 1; date stepping with unit table (:571-583) and
+    defaults step=1,unit=d (:226-249); value wins over incr (:187-196);
+    a column with none of value/random/incr raises (:180-182)."""
+    from addax_spark.jobconfig import _read
+
+    def read(cols, n=4):
+        cfg = {"job": {"content": {
+            "reader": {"name": "streamreader",
+                       "parameter": {"sliceRecordCount": n, "column": cols}},
+            "writer": {"name": "streamwriter", "parameter": {}}}}}
+        return _read(spark, job_from_config(cfg)).orderBy("col1").collect()
+
+    rows = read([{"incr": "100", "type": "long"}])
+    assert [r.col1 for r in rows] == [100, 101, 102, 103]
+    rows = read([{"incr": "5,10", "type": "long"}])
+    assert [r.col1 for r in rows] == [5, 15, 25, 35]
+    # date default unit d, custom format; hour unit
+    rows = read([{"incr": "2024-01-01,2", "type": "date", "dateFormat": "yyyy-MM-dd"},
+                 {"incr": "2024-01-01 00:00:00,6,h", "type": "date"}], n=3)
+    assert [str(r.col1)[:10] for r in rows] == ["2024-01-01", "2024-01-03", "2024-01-05"]
+    assert [str(r.col2)[11:13] for r in rows] == ["00", "06", "12"]
+    # value has priority over incr
+    rows = read([{"incr": "5,1", "value": "42", "type": "long"}], n=2)
+    assert [r.col1 for r in rows] == [42, 42]
+    # strictness
+    with pytest.raises(ValueError, match="value/random/incr"):
+        read([{"type": "long"}])
+    with pytest.raises(ValueError, match="long/date"):
+        read([{"incr": "1,1", "type": "double"}])
+    with pytest.raises(ValueError, match="invalid date unit"):
+        read([{"incr": "2024-01-01 00:00:00,1,q", "type": "date"}])
+
+
+def test_jsonpath_projected_json_job(spark, tmp_path):
+    """jsonfilereader JSONPath projection: nested paths via get_json_object,
+    missing leafs -> null, typed casts through quarantine, constants."""
+    src = tmp_path / "in.jsonl"
+    lines = [
+        json.dumps({"id": 1, "score": {"math": 90.5}, "tags": ["a", "b"]}),
+        json.dumps({"id": 2, "score": {}}),  # missing leaf -> null
+        json.dumps({"id": "bad", "score": {"math": 1.0}}),  # dirty
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "jout")
+    cfg = {"job": {"setting": {"errorLimit": {"record": 5}}, "content": {
+        "reader": {"name": "txtfilereader", "parameter": {
+            "path": str(src), "fileType": "json",
+            "column": [
+                {"index": "$.id", "type": "long", "name": "id"},
+                {"index": "$.score.math", "type": "double", "name": "math"},
+                {"index": "$.tags[0]", "type": "string", "name": "tag0"},
+                {"value": "k", "type": "string", "name": "const"},
+            ]}},
+        "writer": {"name": "hdfswriter", "parameter": {
+            "path": out, "fileType": "parquet", "writeMode": "truncate"}}}}}
+    m = run_job(spark, cfg)
+    assert (m["rows_read"], m["rows_written"], m["dirty_records"]) == (3, 2, 1)
+    got = {r.id: (r.math, r.tag0, r.const)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: (90.5, "a", "k"), 2: (None, None, "k")}
+    # config validation mirrors JsonReader.java:139-153
+    bad = json.loads(json.dumps(cfg))
+    bad["job"]["content"]["reader"]["parameter"]["column"][0] = {"type": "long"}
+    with pytest.raises(ValueError, match="index or value"):
+        run_job(spark, bad)
+
+
+def test_parquet_reader_keeps_native_types(spark, tmp_path):
+    """hdfsreader fileType=parquet with typed columns must keep native types
+    (no silent string round-trip)."""
+    src = str(tmp_path / "typed_in")
+    spark.createDataFrame([(1, 2.5, "x")], "a long, b double, c string").write.parquet(src)
+    out = str(tmp_path / "typed_out")
+    cfg = {"job": {"content": {
+        "reader": {"name": "hdfsreader", "parameter": {
+            "path": src, "fileType": "parquet",
+            "column": [{"name": "a", "type": "long"},
+                       {"name": "b", "type": "double"},
+                       {"name": "c", "type": "string"}]}},
+        "writer": {"name": "hdfswriter", "parameter": {
+            "path": out, "fileType": "parquet", "writeMode": "truncate"}}}}}
+    m = run_job(spark, cfg)
+    assert m["rows_written"] == 1
+    assert dict(spark.read.parquet(out).dtypes) == {"a": "bigint", "b": "double", "c": "string"}
+
+
+def test_nonconflict_write_mode(spark, tmp_path):
+    out = str(tmp_path / "nc_out")
+    cfg = {"job": {"content": {
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 3, "column": [{"incr": "1", "type": "long"}]}},
+        "writer": {"name": "txtfilewriter", "parameter": {
+            "path": out, "fileType": "parquet", "writeMode": "nonConflict"}}}}}
+    assert run_job(spark, cfg)["rows_written"] == 3  # empty target: fine
+    with pytest.raises(RuntimeError, match="nonConflict"):
+        run_job(spark, cfg)  # second run: target non-empty
+
+
+def test_jdbc_writer_presql_refused(spark):
+    """A migrated job whose jdbc writer carries preSql must fail loudly, not
+    silently skip the statement the reference would run."""
+    cfg = {"job": {"content": {
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 1, "column": [{"value": "1", "type": "long"}]}},
+        "writer": {"name": "mysqlwriter", "parameter": {
+            "preSql": ["truncate table @table"],
+            "connection": [{"jdbcUrl": "jdbc:mysql://h/db", "table": ["t"]}]}}}}}
+    with pytest.raises(ValueError, match="preSql"):
+        run_job(spark, cfg)
+
+
+def test_registered_transformer_and_single_pass(spark, tmp_path):
+    """Custom named transformer (TransformerRegistry analog) runs from a job
+    config, and the pipeline executes ONCE: an accumulator inside the
+    registered transform counts row-visits — with the old count()-based
+    metrics it would see every row 2-3x."""
+    from pyspark.sql.types import StringType
+
+    from addax_spark.operators.transforms import register_transformer
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def upper_counted(df, col, *paras):
+        def f(s: "pd.Series") -> "pd.Series":
+            acc.add(len(s))
+            return s.str.upper()
+        fu = F.pandas_udf(f, StringType())
+        return df.withColumn(col, fu(F.col(col)))
+
+    register_transformer("dx_upper_counted", upper_counted)
+    src = tmp_path / "reg.csv"
+    src.write_text("1,alice\n2,bob\nx,carl\n")
+    out = str(tmp_path / "reg_out")
+    cfg = {"job": {"setting": {"errorLimit": {"record": 5}}, "content": {
+        "reader": {"name": "txtfilereader", "parameter": {
+            "path": str(src),
+            "column": [{"index": 0, "type": "long", "name": "id"},
+                       {"index": 1, "type": "string", "name": "name"}]}},
+        "transformer": [
+            {"name": "dx_upper_counted", "parameter": {"columnIndex": 1, "paras": []}}],
+        "writer": {"name": "hdfswriter", "parameter": {
+            "path": out, "fileType": "parquet", "writeMode": "truncate"}}}}}
+    m = run_job(spark, cfg)
+    assert (m["rows_read"], m["rows_written"], m["dirty_records"]) == (3, 2, 1)
+    assert {r.name for r in spark.read.parquet(out).collect()} == {"ALICE", "BOB"}
+    # single pass: the 2 clean rows crossed the transform exactly once
+    assert acc.value == 2
+    # unknown names still fail fast at compile time
+    bad = json.loads(json.dumps(cfg))
+    bad["job"]["content"]["transformer"][0]["name"] = "dx_nope"
+    with pytest.raises(ValueError, match="unknown transformer"):
+        job_from_config(bad)
