@@ -302,36 +302,41 @@ def embedding_cosine_pairs(
     """Near-duplicate pairs by cosine — exact, fully distributed.
 
     Phase 1 prunes with a DISTRIBUTED block matmul: the corpus is packed
-    into ``n_blocks`` single-row blocks (ids + a normalized float64 matrix,
-    serialized) keyed by hash(id); every block pair (upper triangle,
-    n_blocks*(n_blocks+1)/2 tasks) is scored with one numpy matmul and
-    emits ids with cos >= threshold - 1e-6. Nothing touches the driver —
-    no ``toPandas``/broadcast of the corpus (VERDICT r1 item 6); the block
-    matrices move through one shuffle + one small nested-loop join.
-    The matmul differs from a sequential fold by ~1e-12 relative, so the
-    1e-6 margin makes the prefilter provably lossless.
+    into ``n_blocks`` single-row blocks (native-typed id array + a
+    normalized float64 matrix, serialized) keyed by hash(id); every block
+    pair (upper triangle, n_blocks*(n_blocks+1)/2 tasks) is scored with one
+    numpy matmul and emits ids with cos >= threshold - 1e-6. Nothing
+    touches the driver: each block EXPLODES to its upper-triangle partner
+    keys and meets the partner payload in a SHUFFLE_HASH join on the block
+    id — no broadcast (a Spark broadcast routes the build side through
+    driver memory), no toPandas. The matmul differs from a sequential fold
+    by ~1e-12 relative, so the 1e-6 margin makes the prefilter provably
+    lossless.
 
     Phase 2 recomputes survivors with the oracle's sequential fold —
     bit-exact output. The O(n^2) block grid is inherent to the EXACT
     verifier (size blocks ~50 MB and it parallelizes to the cluster);
     the sub-quadratic scale path is :func:`embedding_lsh_pairs`.
+
+    Ids keep their source dtype end to end (long/string/... — packed as a
+    typed array column, compared with numpy elementwise min/max).
     """
     import numpy as np
     import pandas as pd
 
     margin = threshold - 1e-6
+    id_t = df.schema[id_col].dataType.simpleString()
     blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("_blk")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        ids = pdf[id_col].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "blk": [int(pdf["_blk"].iloc[0])],
-                "ids": [ids.tobytes()],
+                "ids": [pdf[id_col].tolist()],
                 "mat": [M.tobytes()],
-                "n": [len(ids)],
+                "n": [len(pdf)],
                 "dim": [M.shape[1]],
             }
         )
@@ -339,27 +344,32 @@ def embedding_cosine_pairs(
     packed = (
         df.select(blk, F.col(id_col), F.col(vec_col))
         .groupBy("_blk")
-        .applyInPandas(pack, schema="blk int, ids binary, mat binary, n int, dim int")
+        .applyInPandas(pack, schema=f"blk int, ids array<{id_t}>, mat binary, n int, dim int")
     )
-    a = packed.alias("a")
-    b = packed.alias("b")
-    grid = a.join(F.broadcast(b), F.col("a.blk") <= F.col("b.blk")).select(
-        F.col("a.blk").alias("blk_a"),
-        F.col("a.ids").alias("ids_a"),
-        F.col("a.mat").alias("mat_a"),
-        F.col("a.n").alias("n_a"),
-        F.col("a.dim").alias("dim"),
-        F.col("b.blk").alias("blk_b"),
-        F.col("b.ids").alias("ids_b"),
-        F.col("b.mat").alias("mat_b"),
-        F.col("b.n").alias("n_b"),
+    # upper-triangle pair grid WITHOUT a broadcast: the a-side block fans out
+    # to one row per partner block id, then a shuffle join keyed on that id
+    # attaches the partner payload — block bytes move executor-to-executor
+    a_exp = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        F.col("n").alias("n_a"),
+        F.col("dim").alias("dim"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
     )
+    b_side = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+        F.col("n").alias("n_b"),
+    )
+    grid = a_exp.join(b_side.hint("SHUFFLE_HASH"), "blk_b")
 
     def score(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ia = np.frombuffer(row.ids_a, dtype=np.int64)
-                ib = np.frombuffer(row.ids_b, dtype=np.int64)
+                ia = np.asarray(row.ids_a)
+                ib = np.asarray(row.ids_b)
                 A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(row.n_a, row.dim)
                 Bm = np.frombuffer(row.mat_b, dtype=np.float64).reshape(row.n_b, row.dim)
                 sims = A @ Bm.T
@@ -372,7 +382,7 @@ def embedding_cosine_pairs(
                     yield out.drop_duplicates()  # diagonal block sees (i,j) twice
 
     cands = grid.repartition(max(n_blocks, 1)).mapInPandas(
-        score, schema="id_a long, id_b long"
+        score, schema=f"id_a {id_t}, id_b {id_t}"
     ).dropDuplicates(["id_a", "id_b"])
     return _exact_cosine_verify(cands, df, vec_col, id_col, threshold)
 

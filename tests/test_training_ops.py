@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from addax_spark.operators import dedup, multimodal, similarity, transforms as tf
 
-from .conftest import SF_SMALL
+from .conftest import SF_SMALL, SF_TINY
 
 
 def test_ann_recall_vs_brute(spark):
@@ -108,3 +108,48 @@ def test_transform_edges(spark):
     # filter drops matches, keeps nulls
     out = [r.id for r in tf.dx_filter(df, "s", "like", "ab.*").collect()]
     assert out == [2]  # 1 and 3 match the anchored regex and are dropped
+
+
+def test_embedding_exact_path_no_driver_broadcast(spark):
+    """VERDICT r2 item 3: phase-1 of the exact embedding path must not route
+    the packed corpus through the driver. The old plan broadcast the packed
+    blocks (BroadcastNestedLoopJoin); the rewrite explodes the upper-triangle
+    grid keys and meets partners in a shuffle join."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.45)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert pairs.count() == 14  # value parity with the driver oracle
+
+
+def test_embedding_exact_path_string_ids(spark):
+    """ADVICE r2: ids must keep their source dtype — string ids flow through
+    pack/score/verify without truncation or crashes."""
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    as_str = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string")))
+    int_pairs = {
+        (f"doc-{r.id_a}", f"doc-{r.id_b}", r.cosine)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    str_pairs = {
+        (*sorted((r.id_a, r.id_b)), r.cosine)
+        for r in dedup.embedding_cosine_pairs(as_str, threshold=0.45).collect()
+    }
+    assert dict(dedup.embedding_cosine_pairs(as_str, threshold=0.45).dtypes)["id_a"] == "string"
+    # same pair set modulo the id ordering flip (string sort != numeric sort)
+    assert {frozenset(p[:2]) for p in str_pairs} == {frozenset(p[:2]) for p in int_pairs}
+
+
+def test_embedding_lsh_recall_equals_exact(spark):
+    """The docstring's promise, enforced: with deterministic hyperplanes the
+    LSH pair set equals the exact all-pairs set (recall 1.0 at the registered
+    tuning) on BOTH test corpora — the driver registers embedding_lsh_dedup
+    against the exact oracle, so this must hold or the compare breaks."""
+    for d in (SF_TINY, SF_SMALL):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        exact = {(r.id_a, r.id_b) for r in
+                 dedup.embedding_cosine_pairs(emb, threshold=0.45).collect()}
+        lsh = {(r.id_a, r.id_b) for r in
+               dedup.embedding_lsh_pairs(emb, threshold=0.45, n_planes=3, n_tables=20).collect()}
+        assert lsh == exact, f"LSH recall < 1.0 on {d}"
