@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["revenue_by_nation"] = api.revenue_by_nation
     q["local_supplier_volume"] = api.local_supplier_volume
     q["brand_part_stats"] = api.brand_part_stats
+    q["top_customers_per_nation"] = api.top_customers_per_nation
+    # serving path: run the real job into a scratch dir, then range-read the
+    # WRITTEN tiers/chunks (oracle recomputes from raw -> write+read checked)
+    q["serving_range"] = api.serving_range
+    q["serving_points"] = api.serving_points
     return q
 
 
@@ -80,6 +85,9 @@ def oracle_sql() -> dict[str, str]:
     o["revenue_by_nation"] = api.ORACLE_REVENUE_SQL
     o["local_supplier_volume"] = api.ORACLE_LOCAL_SUPPLIER_SQL
     o["brand_part_stats"] = api.ORACLE_BRAND_PART_SQL
+    o["top_customers_per_nation"] = api.ORACLE_TOP_CUSTOMERS_SQL
+    o["serving_range"] = api.oracle_serving_range_sql()
+    o["serving_points"] = api.oracle_serving_points_sql()
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o
