@@ -8,9 +8,12 @@ split -> schedule -> post). Here:
   bucket boundary and a chunk boundary, so per-day processing is exact);
   at cluster scale the day filter is a partition-pruned scan of the
   Iceberg/parquet `date(ts)` layout.
-- "schedule" = Spark's scheduler; per unit the pipeline is one colocating
-  shuffle on hash(conv_id), after which every tier aggregation and the
-  chunk encode run exchange-free (see plans.partitioning.colocate_by_series).
+- "schedule" = Spark's scheduler; per unit the tier cascade runs over ONE
+  colocating shuffle on hash(conv_id) (every (conv_id, bucket) grouping is
+  then exchange-free — plans.partitioning.colocate_by_series), the chunk
+  encode keeps its own column-pruned arrange shuffle, and every write
+  action runs on a background thread so driver-serial segments (planning,
+  commit, stragglers) overlap the next stage's parallel compute.
 - "failover" = the manifest: a rerun skips 'done' units and rewrites only
   its own partitions (dynamic partition overwrite -> idempotent).
 - "metrics" = per-unit rows_read / chunks_encoded / bytes_raw /
@@ -45,13 +48,14 @@ class RollupJobSpec:
     tiers: list[str] = field(default_factory=lambda: list(TIER_ORDER))
     chunk_tier: str = "1d"
     job_id: str = ""
-    # colocate=True pre-shuffles FULL raw rows once and caches them so every
+    # colocate=True pre-shuffles FULL raw rows once and CACHES them so every
     # tier + the chunk encode read one shared exchange. Measured at 6M turns
-    # / local[8]: the raw-row shuffle + cache materialization costs MORE
-    # (50s) than letting each consumer run its own COLUMN-PRUNED shuffle
-    # (rollup shuffles map-side-combined partials, encode shuffles
-    # (conv, ts, value) without text) — and caching raw is impossible at
-    # 100 TB anyway. Default False; True remains for small hot slices.
+    # / local[8]: the raw-row cache materialization costs MORE (50s) than
+    # per-consumer pruned shuffles — and caching raw is impossible at 100 TB.
+    # Default False; the TIER CASCADE still gets an uncached conv_id
+    # repartition (cheap: replaces the 1m agg's own exchange and makes every
+    # cascade step exchange-free), while the chunk encode keeps its own
+    # column-pruned arrange shuffle. True remains for small hot slices.
     colocate: bool = False
     n_partitions: int | None = None
     value_expr: str = "length(text)"
@@ -136,59 +140,90 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
         if spec.colocate:
             sl = colocate_by_series(sl, n_parts).cache()
             cached_raw = True
-        try:
-            # build the cascade incrementally, caching each tier BEFORE the
-            # next derives from it — the cached subtree must be the exact
-            # plan the next tier references, else Spark recomputes the whole
-            # cascade from raw per tier write
-            from .operators.rollup import rollup_cascade_step, rollup_from_raw
 
-            cached_tiers: list[DataFrame] = []
-            parts: list[DataFrame] = []
-            cur: DataFrame | None = None
-            for t in spec.tiers:
-                cur = (
-                    rollup_from_raw(sl, t, value=F.expr(spec.value_expr))
-                    if cur is None
-                    else rollup_cascade_step(cur, t)
-                ).cache()
-                cached_tiers.append(cur)
-                parts.append(cur.withColumn("tier", F.lit(t)))
-            union = parts[0]
-            for p in parts[1:]:
-                union = union.unionByName(p)
-            # ONE write action for all tiers (tier=/date= layout): per-action
-            # scheduling + commit overhead is the scaling bottleneck at small
-            # batch sizes. The repartition by (tier, date) bounds output files
-            # — without it every hash(conv) task writes into every date dir
-            # (tasks x dates files + slow commit); AQE right-sizes partitions.
-            # partitionOverwriteMode pinned PER WRITE: with a user-supplied
-            # session (default static) a batch overwrite would wipe ALL
-            # previously written partitions and a resume would delete
-            # completed days' output.
-            # The repartition key includes a small conv-hash salt: with few
-            # (tier, date) cells, keying on the partition columns alone puts
-            # an entire cell (the 1m tier of a whole day — millions of rows)
-            # through ONE writer task, a serial section that caps scaling.
-            # The salt fans each cell out to <= _WRITE_SALT tasks while
-            # keeping files-per-directory bounded at _WRITE_SALT.
-            salt = F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
-            union.withColumn("date", F.to_date("bucket_start")).repartition(
-                F.col("tier"), F.col("date"), salt
+        # Writer-thread pool: every write action runs on a background thread
+        # so its serial segments (driver planning, output commit, straggler
+        # tail) overlap the next stage's parallel compute. Measured at 6M
+        # turns (BENCH.md r3): batch wall 63 -> 35 s at local[8], and the
+        # fitted per-job fixed term drops ~20 -> ~11 s, which is what moves
+        # the N->4N scaling efficiency.
+        import threading
+
+        write_errors: list[BaseException] = []
+        writers: list[threading.Thread] = []
+
+        def _spawn(fn):
+            def g():
+                try:
+                    fn()
+                except BaseException as e:  # noqa: BLE001 — re-raised after join
+                    write_errors.append(e)
+
+            th = threading.Thread(target=g, daemon=True)
+            th.start()
+            writers.append(th)
+
+        # partitionOverwriteMode pinned PER WRITE: with a user-supplied
+        # session (default static) a batch overwrite would wipe ALL
+        # previously written partitions and a resume would delete completed
+        # days' output. The repartition key includes a small conv-hash salt:
+        # keying on the date column alone puts an entire (tier, date) cell
+        # (the 1m tier of a whole day — millions of rows) through ONE writer
+        # task, a serial section that caps scaling; the salt fans each cell
+        # out to <= _WRITE_SALT tasks while keeping files-per-directory
+        # bounded at _WRITE_SALT.
+        wsalt = F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
+
+        def _write_partitioned(df: DataFrame, part_col: str, path: str) -> None:
+            df.withColumn("date", F.to_date(part_col)).repartition(
+                F.col("date"), wsalt
             ).write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
-            ).partitionBy("tier", "date").parquet(f"{spec.output_root}/tiers")
+            ).partitionBy("date").parquet(path)
+
+        try:
+            # chunk pipeline first and on its own thread: the Python-worker
+            # encode overlaps the JVM-side tier aggregates
             chunks = encode_chunks(
                 sl,
                 value=F.expr(spec.value_expr).cast("double"),
                 chunk_tier=spec.chunk_tier,
                 order_cols=list(spec.order_cols),
             ).cache()
-            chunks.withColumn("date", F.to_date("chunk_start")).repartition(
-                F.col("date"), F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
-            ).write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("date").parquet(f"{spec.output_root}/chunks")
+            _spawn(lambda: _write_partitioned(chunks, "chunk_start", f"{spec.output_root}/chunks"))
+
+            # Tier cascade over a conv-colocated input: ONE shuffle on
+            # hash(conv_id), after which the 1m aggregation AND every cascade
+            # step satisfy their (conv_id, bucket) clustered distribution
+            # without further exchanges (plans.partitioning.colocate_by_series;
+            # exchange-free plan asserted in tests/test_rollup_parity.py).
+            # Each tier is cached and MATERIALIZED (count) before the next
+            # derives from it and before its write thread starts — the cached
+            # subtree must be the exact plan both consumers reference, and
+            # racing an unmaterialized cache duplicates the upstream compute
+            # (measured +25% at local[2]).
+            from .operators.rollup import rollup_cascade_step, rollup_from_raw
+
+            slc = sl if spec.colocate else sl.repartition(n_parts, "conv_id")
+            cached_tiers: list[DataFrame] = []
+            cur: DataFrame | None = None
+            for t in spec.tiers:
+                cur = (
+                    rollup_from_raw(slc, t, value=F.expr(spec.value_expr))
+                    if cur is None
+                    else rollup_cascade_step(cur, t)
+                ).cache()
+                cur.count()
+                cached_tiers.append(cur)
+                _spawn(
+                    lambda df=cur, t=t: _write_partitioned(
+                        df, "bucket_start", f"{spec.output_root}/tiers/tier={t}"
+                    )
+                )
+            for th in writers:
+                th.join()
+            if write_errors:
+                raise write_errors[0]
             # per-day lineage metrics in one pass over the (small) chunk table
             day_metrics = {
                 r.d.isoformat(): r

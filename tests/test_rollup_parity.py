@@ -90,3 +90,29 @@ def test_salted_rollup_identical(spark, fixture_data, tier):
         salted = rollup_from_raw_salted(fixture_data, tier, salt_buckets=buckets)
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_colocated_cascade_is_exchange_free(spark):
+    """plans.partitioning.colocate_by_series contract: after ONE hash
+    repartition on conv_id, the 1m rollup and every cascade step satisfy
+    their (conv_id, bucket) clustered distribution — exactly one Exchange
+    in the whole 4-tier physical plan."""
+    from addax_spark import synth
+    from addax_spark.operators.rollup import rollup_cascade_step, rollup_from_raw
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    t = synth.transcripts(spark, n_convs=20, avg_turns=10)
+
+    def cascade(src):
+        cur = rollup_from_raw(src, "1m")
+        for tier in ["5m", "1h", "1d"]:
+            cur = rollup_cascade_step(cur, tier)
+        return cur
+
+    base = n_exchanges(cascade(t))  # 1m groupBy + 3 cascade groupBys shuffle
+    coloc = n_exchanges(cascade(t.repartition(4, "conv_id")))
+    # the colocate repartition replaces the 1m agg's exchange AND removes the
+    # three cascade exchanges: exactly 3 fewer in total
+    assert coloc == base - 3, f"expected {base - 3} exchanges, got {coloc}"
