@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WRITTEN tiers/chunks (oracle recomputes from raw -> write+read checked)
     q["serving_range"] = api.serving_range
     q["serving_points"] = api.serving_points
+    q["retention_ladder"] = api.retention_ladder
     return q
 
 
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
     o["top_customers_per_nation"] = api.ORACLE_TOP_CUSTOMERS_SQL
     o["serving_range"] = api.oracle_serving_range_sql()
     o["serving_points"] = api.oracle_serving_points_sql()
+    o["retention_ladder"] = api.oracle_retention_ladder_sql()
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

@@ -778,6 +778,39 @@ WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
 """
 
 
+RETENTION_NOW = "2024-02-09"  # 1m horizon (30d) has expired 2024-01-01..09
+RETENTION_WINDOW = ("2024-01-05 00:00:00", "2024-01-06 00:00:00")
+
+
+def retention_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention + ladder serving, driver-checked: expire() drops written 1m
+    partitions past their 30-day horizon (idempotent, fixed `now`), then
+    query_range with tier=None must route the pre-horizon window to the 5m
+    tier — the oracle recomputes those 5m buckets from raw, so the ladder
+    pick AND the surviving tier's content are both verified. Mutation note:
+    this shares the per-process serving build with serving_range (1h) and
+    serving_points (chunks); dropping old 1m partitions touches neither."""
+    import datetime as _dt
+
+    from .retention import expire
+    from .serving import query_range
+
+    out = _serving_output(spark, sf_dir)
+    now = _dt.date.fromisoformat(RETENTION_NOW)
+    expire(out, now)
+    lo, hi = RETENTION_WINDOW
+    return query_range(spark, out, lo, hi, tier=None, now=now)
+
+
+def oracle_retention_ladder_sql() -> str:
+    lo, hi = RETENTION_WINDOW
+    return f"""
+WITH r AS ({oracle_rollup_sql('5m')})
+SELECT * FROM r
+WHERE bucket_start >= TIMESTAMP '{lo}' AND bucket_start < TIMESTAMP '{hi}'
+"""
+
+
 ORACLE_REVENUE_SQL = """
 SELECT n_name,
        (sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)))::DOUBLE AS revenue,

@@ -159,6 +159,8 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
     name, p = jobspec.reader_name, jobspec.reader_param
     if name == "streamreader":
         return _stream_reader(spark, p)
+    if name == "datareader":
+        return _data_reader(spark, p)
     if name in STORAGE_READERS:
         return _storage_reader(spark, p, jobspec)
     if name in JDBC_READERS:
@@ -221,6 +223,132 @@ def _incr_column(c: dict, typ: str):
         f"streamreader incr supports long/date columns only, got type {typ!r} "
         "(StreamReader.java:251-256 NOT_SUPPORT_TYPE)"
     )
+
+
+# ----------------------------------------------------------- datareader rules
+# The reference's datareader (plugin/reader/datareader/.../DataReader.java:
+# 419-560) extends streamreader's constant/random/incr with faker-style rules
+# (address/bank/company/email/name/phone/uuid/lat/lng/...), drawn from an
+# unseeded RNG over bundled word lists. Here every rule is a DETERMINISTIC
+# JVM column expression seeded by xxhash64(row, column-index) over small
+# original pools — documented deviation (reproducible runs; the pools are
+# this engine's own, not the reference's resource lists).
+
+_POOLS = {
+    "first": ["Alex", "Sam", "Jordan", "Taylor", "Morgan", "Casey", "Riley",
+              "Quinn", "Avery", "Dana", "Lee", "Jamie", "Robin", "Drew"],
+    "last": ["Smith", "Johnson", "Lee", "Brown", "Garcia", "Miller", "Davis",
+             "Clark", "Walker", "Hall", "Young", "King", "Wright", "Scott"],
+    "street": ["Maple", "Oak", "Cedar", "Elm", "Pine", "Birch", "Walnut",
+               "Willow", "Aspen", "Spruce"],
+    "city": ["Springfield", "Riverton", "Lakeview", "Hillcrest", "Fairview",
+             "Georgetown", "Clinton", "Greenville", "Bristol", "Salem"],
+    "company_w": ["Acme", "Globex", "Initech", "Umbra", "Vertex", "Nimbus",
+                  "Quantum", "Stellar", "Apex", "Orchid"],
+    "company_s": ["Corp", "LLC", "Ltd", "Group", "Labs", "Industries",
+                  "Systems", "Holdings"],
+    "domain": ["example.com", "example.org", "example.net", "mail.example",
+               "post.example"],
+    "job": ["Engineer", "Analyst", "Designer", "Manager", "Technician",
+            "Accountant", "Teacher", "Chemist", "Editor", "Architect"],
+    "bank": ["First National Bank", "Riverside Savings", "Summit Trust",
+             "Harbor Credit Union", "Meridian Bank"],
+}
+
+
+def _rule_hash(i: int, *extra):
+    return F.xxhash64(F.col("_row"), F.lit(i), *[F.lit(x) for x in extra])
+
+
+def _pool_pick(pool: str, i: int, seed: int = 0):
+    vals = _POOLS[pool]
+    idx = F.pmod(_rule_hash(i, pool, seed), F.lit(len(vals))).cast("int")
+    return F.element_at(F.array(*[F.lit(v) for v in vals]), idx + 1)
+
+
+def _digits(i: int, n: int, seed: int = 0):
+    """n deterministic decimal digits as a string (leading zeros kept)."""
+    parts = [
+        F.lpad(F.pmod(_rule_hash(i, "dig", seed, k), F.lit(1_000_000_000)).cast("string"), 9, "0")
+        for k in range(-(-n // 9))
+    ]
+    return F.substring(F.concat(*parts), 1, n)
+
+
+def _rule_column(rule: str, i: int, typ: str):
+    """One faker-rule column (DataReader.java:539-560 buildOtherColumn)."""
+    name = F.concat_ws(" ", _pool_pick("first", i), _pool_pick("last", i, 1))
+    if rule == "name":
+        return name
+    if rule == "address":
+        return F.concat(
+            (F.pmod(_rule_hash(i, "no"), F.lit(9999)) + 1).cast("string"),
+            F.lit(" "), _pool_pick("street", i), F.lit(" St, "), _pool_pick("city", i),
+        )
+    if rule == "company":
+        return F.concat_ws(" ", _pool_pick("company_w", i), _pool_pick("company_s", i))
+    if rule == "email":
+        return F.concat(F.lower(F.regexp_replace(name, " ", ".")),
+                        F.pmod(_rule_hash(i, "em"), F.lit(100)).cast("string"),
+                        F.lit("@"), _pool_pick("domain", i))
+    if rule == "phone":
+        return F.concat(F.lit("1"), _digits(i, 10))
+    if rule == "uuid":
+        h = F.md5(_rule_hash(i, "uuid").cast("string"))
+        return F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                           F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12))
+    if rule == "idCard":
+        return _digits(i, 18)
+    if rule in ("debitCard", "creditCard"):
+        return _digits(i, 16)
+    if rule == "bank":
+        return _pool_pick("bank", i)
+    if rule == "job":
+        return _pool_pick("job", i)
+    if rule == "stockCode":
+        return _digits(i, 6)
+    if rule == "stockAccount":
+        return _digits(i, 10)
+    if rule in ("lat", "latitude"):
+        return (F.pmod(_rule_hash(i, "lat"), F.lit(180_000_000)) / 1e6 - 90.0).cast("double")
+    if rule in ("lng", "longitude"):
+        return (F.pmod(_rule_hash(i, "lng"), F.lit(360_000_000)) / 1e6 - 180.0).cast("double")
+    if rule == "zipCode":
+        return (F.pmod(_rule_hash(i, "zip"), F.lit(600_000)) + 100_000).cast("long")
+    raise ValueError(f"datareader: unsupported rule {rule!r}")
+
+
+def _data_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """datareader twin: rule-dispatched synthetic columns
+    (DataReader.java:419-431: constant | random | incr | <faker rule>)."""
+    n = int(p.get("sliceRecordCount", 0))
+    if n < 1:
+        raise ValueError("sliceRecordCount is required and must be >= 1")
+    cols_cfg = p.get("column") or []
+    if not cols_cfg:
+        raise ValueError("column is required and must NOT be empty")
+    df = spark.range(n).withColumnRenamed("id", "_row")
+    cols = []
+    for i, c in enumerate(cols_cfg):
+        rule = str(c.get("rule", "constant"))
+        typ = c.get("type", "string")
+        spark_typ = {"long": "long", "double": "double", "date": "timestamp",
+                     "bool": "boolean", "bytes": "string", "string": "string"}.get(typ, typ)
+        if rule == "constant":
+            v = c.get("value")
+            if v is None:
+                raise ValueError(f"datareader column {i}: constant rule needs a value")
+            col = F.lit(None if str(v).lower() == "null" else v).cast(spark_typ)
+        elif rule == "random":
+            lo, hi = (int(x) for x in str(c.get("random", c.get("value"))).split(",")[:2])
+            col = (F.pmod(F.xxhash64(F.col("_row"), F.lit(i)), F.lit(hi - lo + 1)) + lo).cast(spark_typ)
+        elif rule == "incr":
+            col = _incr_column({"incr": c.get("incr", c.get("value")),
+                                "dateFormat": c.get("dateFormat", _DEFAULT_DATE_FORMAT)}, typ)
+        else:
+            col = _rule_column(rule, i, typ)
+        cols.append(col.alias(c.get("name") or f"col{i + 1}"))
+    return df.select(*cols)
 
 
 def _stream_reader(spark: SparkSession, p: dict) -> DataFrame:

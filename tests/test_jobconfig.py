@@ -344,3 +344,55 @@ def test_registered_transformer_and_single_pass(spark, tmp_path):
     bad["job"]["content"]["transformer"][0]["name"] = "dx_nope"
     with pytest.raises(ValueError, match="unknown transformer"):
         job_from_config(bad)
+
+
+def test_datareader_rules(spark, tmp_path):
+    """datareader twin (DataReader.java:419-560): constant/random/incr plus
+    faker-style rules as deterministic JVM column expressions (documented
+    deviation: seeded by row hash, original pools)."""
+    import re
+
+    from addax_spark.jobconfig import _read
+
+    cfg = {"job": {"content": {
+        "reader": {"name": "datareader", "parameter": {
+            "sliceRecordCount": 20,
+            "column": [
+                {"rule": "incr", "incr": "1,1", "type": "long", "name": "id"},
+                {"rule": "name", "name": "who"},
+                {"rule": "address", "name": "addr"},
+                {"rule": "email", "name": "email"},
+                {"rule": "phone", "name": "phone"},
+                {"rule": "uuid", "name": "uid"},
+                {"rule": "creditCard", "name": "cc"},
+                {"rule": "lat", "type": "double", "name": "lat"},
+                {"rule": "lng", "type": "double", "name": "lng"},
+                {"rule": "zipCode", "type": "long", "name": "zip"},
+                {"rule": "company", "name": "co"},
+                {"rule": "constant", "value": "k", "name": "const"},
+                {"rule": "random", "random": "5,9", "type": "long", "name": "rnd"},
+            ]}},
+        "writer": {"name": "streamwriter", "parameter": {}}}}}
+    df = _read(spark, job_from_config(cfg))
+    rows = df.orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(1, 21))
+    r0 = rows[0]
+    assert re.fullmatch(r"[A-Z][a-z]+ [A-Z][a-z]+", r0.who)
+    assert re.fullmatch(r"\d+ \w+ St, \w+", r0.addr)
+    assert re.fullmatch(r"[a-z]+\.[a-z]+\d{1,2}@[a-z.]+", r0.email)
+    assert re.fullmatch(r"1\d{10}", r0.phone)
+    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", r0.uid)
+    assert re.fullmatch(r"\d{16}", r0.cc)
+    assert -90 <= r0.lat <= 90 and -180 <= r0.lng <= 180
+    assert 100_000 <= r0.zip <= 699_999
+    assert all(5 <= r.rnd <= 9 for r in rows) and r0.const == "k"
+    # deterministic: identical across invocations and parallelism
+    again = _read(spark, job_from_config(cfg)).orderBy("id").collect()
+    assert again == rows
+    # unsupported rule raises (buildOtherColumn default branch)
+    bad = {"job": {"content": {
+        "reader": {"name": "datareader", "parameter": {
+            "sliceRecordCount": 1, "column": [{"rule": "nosuch"}]}},
+        "writer": {"name": "streamwriter", "parameter": {}}}}}
+    with pytest.raises(ValueError, match="unsupported rule"):
+        _read(spark, job_from_config(bad))
