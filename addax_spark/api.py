@@ -719,6 +719,7 @@ QUALIFY rk <= 3
 
 SERVING_WINDOW = ("2024-01-10 00:00:00", "2024-01-12 00:00:00")
 _SERVING_BUILDS: dict[str, str] = {}
+_SERVING_RAWS: dict[str, str] = {}
 
 
 def _serving_output(spark: SparkSession, sf_dir: str) -> str:
@@ -736,8 +737,14 @@ def _serving_output(spark: SparkSession, sf_dir: str) -> str:
 
     out = os.path.join(root, "out")
     _run_job(spark, RollupJobSpec(raw, out, job_id=f"serving-{os.path.basename(root)}"))
+    _SERVING_RAWS[sf_dir] = raw
     _SERVING_BUILDS[sf_dir] = out
     return out
+
+
+def _serving_raw(spark: SparkSession, sf_dir: str) -> str:
+    _serving_output(spark, sf_dir)
+    return _SERVING_RAWS[sf_dir]
 
 
 def serving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +783,30 @@ SELECT conv_id, ts, length(text)::DOUBLE AS value
 FROM t
 WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
 """
+
+
+def streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming rollup, driver-checked against the BATCH oracle:
+    readStream over the same written transcripts, watermark + event-time
+    windows, drained with Trigger.AvailableNow into a memory sink. Stream ==
+    batch after a full drain, so oracle_rollup_sql('1m') — the exact batch
+    recomputation from raw — is the oracle (no rows-only concession)."""
+    import re
+
+    from .streaming.rollup_stream import read_transcript_stream, stream_rollup
+
+    raw = _serving_raw(spark, sf_dir)
+    name = "srollup_" + re.sub(r"\W", "_", sf_dir)
+    q = (
+        stream_rollup(read_transcript_stream(spark, raw), "1m")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 RETENTION_NOW = "2024-02-09"  # 1m horizon (30d) has expired 2024-01-01..09
