@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup"] = api.exact_dedup
     q["minhash_dedup"] = api.minhash_dedup
     q["simhash"] = api.simhash
+    q["dedup_clusters"] = api.dedup_clusters
+    q["stratified_sample"] = api.stratified_sample
     q["embedding_dedup"] = api.embedding_dedup
     q["embedding_lsh_dedup"] = api.embedding_lsh_dedup
     q["topk_cosine"] = api.topk_cosine

@@ -292,6 +292,32 @@ def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list -> per-document cluster representative (connected
+    components by min-label propagation). Edges are the minhash/Jaccard
+    pairs at 0.5; the oracle recomputes the closure with a recursive CTE
+    over the exact all-pairs edges, so both the pair recall AND the
+    component assignment are driver-verified."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return _dedup.dedup_clusters(docs, pairs)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language sample in portable md5-hash
+    order — reproducible at any parallelism and recomputable by the
+    oracle (exact row set, not a statistical property)."""
+    from .operators.sampling import stratified_sample as _ss
+
+    return _ss(load(spark, sf_dir, "documents"), ["lang"], 20)
+
+
+def oracle_stratified_sample_sql() -> str:
+    from .operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql("documents", ["lang"], 20)
+
+
 TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -355,6 +381,8 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "exact_dedup": _dedup.exact_dedup_sql(),
         "minhash_dedup": _dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "simhash": _dedup.simhash64_sql(),
+        "dedup_clusters": _dedup.dedup_clusters_sql(threshold=0.5),
+        "stratified_sample": oracle_stratified_sample_sql(),
         "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "embedding_lsh_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),

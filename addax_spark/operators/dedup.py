@@ -296,6 +296,84 @@ FROM (
 """
 
 
+# ------------------------------------------------------- cluster assignment
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document is
+    assigned its cluster representative (the MIN id reachable through pairs;
+    singletons map to themselves). This is the step that turns a pair list
+    into a keep/drop decision for a training corpus.
+
+    Iterative min-label propagation: each round, every node takes the min of
+    its own label and its neighbors' labels — one shuffle join + one
+    aggregation per round over the (sparse, candidate-sized) edge list, so
+    cost scales with pairs, not corpus^2. Rounds needed = component
+    diameter; near-dup clusters are shallow (a dup cluster's diameter is
+    small by construction), and the loop stops as soon as a round changes
+    nothing. `localCheckpoint` truncates the per-iteration lineage —
+    without it the plan doubles every round and the driver dies planning,
+    the classic iterative-algorithm failure on Spark.
+
+    Deterministic: min() over ids; no randomness anywhere.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels.withColumnRenamed(id_col, "src"), "src")
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new = (
+            labels.join(nb, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, id_col)
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_sql(source: str = "documents", threshold: float = 0.5) -> str:
+    """Oracle: transitive closure by recursive CTE over the SAME exact
+    all-pairs Jaccard edges; cluster = min reachable id."""
+    return f"""
+WITH RECURSIVE p AS ({ngram_jaccard_pairs_sql(source, threshold)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM {source}
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------------- embedding cosine dedup
 
 

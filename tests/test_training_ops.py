@@ -153,3 +153,31 @@ def test_embedding_lsh_recall_equals_exact(spark):
         lsh = {(r.id_a, r.id_b) for r in
                dedup.embedding_lsh_pairs(emb, threshold=0.45, n_planes=3, n_tables=20).collect()}
         assert lsh == exact, f"LSH recall < 1.0 on {d}"
+
+
+def test_dedup_clusters_multi_hop(spark):
+    """Label propagation must close transitive chains: a-b, b-c, c-d is ONE
+    component labeled by its min id, even though a and d share no pair."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (2, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 7: 1, 2: 2, 6: 2, 4: 4}
+
+
+def test_stratified_sample_deterministic(spark):
+    from addax_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = stratified_sample(docs, ["lang"], 5).collect()
+    b = stratified_sample(docs.repartition(13), ["lang"], 5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per_lang.values())
+    # different salt -> different draw (independence knob)
+    c = {r.doc_id for r in stratified_sample(docs, ["lang"], 5, salt="v2").collect()}
+    assert c != {r.doc_id for r in a}
