@@ -821,19 +821,11 @@ def streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputation from raw — is the oracle (no rows-only concession)."""
     import re
 
-    from .streaming.rollup_stream import read_transcript_stream, stream_rollup
+    from .streaming.rollup_stream import run_to_memory
 
     raw = _serving_raw(spark, sf_dir)
     name = "srollup_" + re.sub(r"\W", "_", sf_dir)
-    q = (
-        stream_rollup(read_transcript_stream(spark, raw), "1m")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory(spark, raw, name=name, tier="1m")
     return spark.table(name)
 
 

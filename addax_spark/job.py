@@ -181,7 +181,14 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("date").parquet(path)
 
+        cached_tiers: list[DataFrame] = []
+        chunks: DataFrame | None = None
         try:
+            if cached_raw:
+                # materialize the shared colocated cache BEFORE the chunk
+                # write thread and the cascade race it (unmaterialized-cache
+                # race duplicates the colocating shuffle)
+                sl.count()
             # chunk pipeline first and on its own thread: the Python-worker
             # encode overlaps the JVM-side tier aggregates
             chunks = encode_chunks(
@@ -205,7 +212,6 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             from .operators.rollup import rollup_cascade_step, rollup_from_raw
 
             slc = sl if spec.colocate else sl.repartition(n_parts, "conv_id")
-            cached_tiers: list[DataFrame] = []
             cur: DataFrame | None = None
             for t in spec.tiers:
                 cur = (
@@ -236,9 +242,6 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 )
                 .collect()
             }
-            for c in cached_tiers:
-                c.unpersist()
-            chunks.unpersist()
             wall_each = (time.time() - t0) / max(1, len(batch))
             for day in batch:
                 m = day_metrics.get(day)
@@ -257,6 +260,15 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 man.mark_failed(day)
             raise
         finally:
+            # ALWAYS drain the writer threads — on the failure path too:
+            # leaving daemon writers running would race a retry/resume run
+            # committing into the same output directories
+            for th in writers:
+                th.join()
+            for c in cached_tiers:
+                c.unpersist()
+            if chunks is not None:
+                chunks.unpersist()
             if cached_raw:
                 sl.unpersist()
 

@@ -145,9 +145,10 @@ def _compile_transform(t: dict) -> Transform:
                          "and reference it by name instead")
     else:
         # registered custom transformer (TransformerRegistry.java:45-118
-        # analog): paras pass through verbatim; resolution happens at run
-        # time so registration order vs config loading doesn't matter
-        get_transformer(name)  # fail fast on unknown names
+        # analog): paras pass through verbatim. Fail fast at config-compile
+        # time — register_transformer() must run BEFORE job_from_config
+        # (chain() re-resolves by name at execution anyway)
+        get_transformer(name)
         args = (idx, *paras)
     return Transform(name, args)
 
@@ -275,7 +276,7 @@ def _digits(i: int, n: int, seed: int = 0):
     return F.substring(F.concat(*parts), 1, n)
 
 
-def _rule_column(rule: str, i: int, typ: str):
+def _rule_column(rule: str, i: int):
     """One faker-rule column (DataReader.java:539-560 buildOtherColumn)."""
     name = F.concat_ws(" ", _pool_pick("first", i), _pool_pick("last", i, 1))
     if rule == "name":
@@ -346,7 +347,9 @@ def _data_reader(spark: SparkSession, p: dict) -> DataFrame:
             col = _incr_column({"incr": c.get("incr", c.get("value")),
                                 "dateFormat": c.get("dateFormat", _DEFAULT_DATE_FORMAT)}, typ)
         else:
-            col = _rule_column(rule, i, typ)
+            # honor the declared type: zipCode is naturally long, lat/lng
+            # double, everything else string — cast to the configured type
+            col = _rule_column(rule, i).cast(spark_typ)
         cols.append(col.alias(c.get("name") or f"col{i + 1}"))
     return df.select(*cols)
 
@@ -460,6 +463,13 @@ def _jsonpath_reader(spark: SparkSession, path: str, raw_cols: list, jobspec: Co
         if "index" not in c:
             raise ValueError(f"json column {i}: either index or value is "
                              "required (JsonReader.java:145-148)")
+        if not str(c["index"]).startswith("$"):
+            # a positional index mixed into a JSONPath config would compile
+            # to get_json_object(value, '0') == null-for-every-row
+            raise ValueError(
+                f"json column {i}: index {c['index']!r} is not a JSONPath "
+                "('$...'); positional and JSONPath columns cannot be mixed"
+            )
         cols.append(F.get_json_object(F.col("value"), str(c["index"])).alias(name))
         if typ != "string":
             casts[name] = typ
@@ -538,9 +548,15 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
         pre = _render_sqls(p.get("preSql"), path)
         post = _render_sqls(p.get("postSql"), path)
         is_path = _is_path_target(name, path)
-        if mode == "nonconflict" and is_path and _dir_nonempty(path):
+        if mode == "nonconflict":
             # reference nonConflict: refuse when the target already has data
-            raise RuntimeError(f"writeMode=nonConflict: target {path!r} is not empty")
+            non_empty = (
+                _dir_nonempty(path)
+                if is_path
+                else spark.catalog.tableExists(path) and spark.table(path).limit(1).count() > 0
+            )
+            if non_empty:
+                raise RuntimeError(f"writeMode=nonConflict: target {path!r} is not empty")
         _run_lifecycle_sql(spark, pre, path if is_path else None)
         if name == "icebergwriter" and not is_path:
             write_table(df, path, {"truncate": "truncate", "append": "append",

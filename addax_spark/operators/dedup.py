@@ -253,7 +253,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 continue
             ids, offs, toks = [], [0], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                w = [x for x in re.split(r"\s+", (t or "").strip()) if x]
+                # ASCII whitespace class ONLY — Python's \s is Unicode-aware
+                # while the JVM twin (Java regex \s = [ \t\n\x0b\f\r]) and
+                # the DuckDB RE2 oracle are ASCII; a Unicode space (NBSP)
+                # must stay inside its token in all three engines
+                w = [x for x in re.split(r"[ \t\n\x0b\f\r]+", t or "") if x]
                 if not w:
                     continue
                 ids.append(doc_id)
@@ -329,6 +333,7 @@ def dedup_clusters(
 
     labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         nb = (
             edges.join(labels.withColumnRenamed(id_col, "src"), "src")
@@ -351,7 +356,15 @@ def dedup_clusters(
         )
         labels = new
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would split one component
+        # across cluster_ids — a silent-wrong keep/drop decision
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textfns import hash60
+from ..functions.textfns import hash60, hash60_sql
 
 
 def stratified_sample(
@@ -49,9 +49,7 @@ def stratified_sample_sql(
     source: str, strata: list[str], k: int, id_col: str = "doc_id", salt: str = ""
 ) -> str:
     """DuckDB twin: identical hash order via the portable hash60 cast."""
-    key = (
-        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT)"
-    )
+    key = hash60_sql(f"CAST({id_col} AS VARCHAR) || '{salt}'")
     cols = ", ".join(strata)
     return f"""
 SELECT {cols}, {id_col}, sample_rank FROM (
