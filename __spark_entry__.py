@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["serving_range"] = api.serving_range
     q["serving_points"] = api.serving_points
     q["retention_ladder"] = api.retention_ladder
+    q["compaction_roundtrip"] = api.compaction_roundtrip
     q["streaming_rollup_1m"] = api.streaming_rollup_1m
     return q
 
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
     o["serving_range"] = api.oracle_serving_range_sql()
     o["serving_points"] = api.oracle_serving_points_sql()
     o["retention_ladder"] = api.oracle_retention_ladder_sql()
+    o["compaction_roundtrip"] = api.oracle_compaction_roundtrip_sql()
     # stream == batch after an AvailableNow drain -> the exact batch oracle
     o["streaming_rollup_1m"] = api.oracle_rollup_sql("1m")
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),

@@ -829,6 +829,33 @@ def streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+COMPACT_WINDOW = ("2024-01-20 00:00:00", "2024-01-21 00:00:00")
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction driver-checked as a content-preserving partition rewrite:
+    retention.compact() rewrites the written 5m tier's partitions to
+    target-size files (dynamic partition overwrite), then query_range reads
+    a window back; the oracle recomputes those buckets from raw — any row
+    lost/duplicated/mutated by the rewrite hash-mismatches."""
+    from .retention import compact
+    from .serving import query_range
+
+    out = _serving_output(spark, sf_dir)
+    compact(spark, out, "5m")
+    lo, hi = COMPACT_WINDOW
+    return query_range(spark, out, lo, hi, tier="5m")
+
+
+def oracle_compaction_roundtrip_sql() -> str:
+    lo, hi = COMPACT_WINDOW
+    return f"""
+WITH r AS ({oracle_rollup_sql('5m')})
+SELECT * FROM r
+WHERE bucket_start >= TIMESTAMP '{lo}' AND bucket_start < TIMESTAMP '{hi}'
+"""
+
+
 RETENTION_NOW = "2024-02-09"  # 1m horizon (30d) has expired 2024-01-01..09
 RETENTION_WINDOW = ("2024-01-05 00:00:00", "2024-01-06 00:00:00")
 
