@@ -77,12 +77,18 @@ def compact(
     target_file_bytes: int = TARGET_FILE_BYTES,
 ) -> int:
     """Rewrite partitions of a tier to ~target-size files (small-file
-    compaction). Returns partitions rewritten. Uses dynamic partition
-    overwrite so only the touched dates are replaced — the parquet-dir
-    analog of Iceberg's rewrite_data_files + overwritePartitions commit."""
+    compaction). Returns partitions rewritten. The parquet-dir analog of
+    Iceberg's rewrite_data_files + overwritePartitions commit.
+
+    ONE Spark action for all touched dates: per-date file targets come from
+    a metadata-only size listing, each row gets a file slot hashed into
+    [0, files_for_its_date), and a single repartition(date, slot) + dynamic
+    partition overwrite rewrites everything. The per-date-loop alternative
+    is an action (plan + commit) per partition — a driver-serial section
+    that dominates at many partitions."""
     root = tier_root(output_root, tier)
     dates = dates if dates is not None else list_date_partitions(root)
-    n = 0
+    plan: list[tuple[str, int]] = []
     for d in dates:
         part = os.path.join(root, f"date={d}")
         if not os.path.isdir(part):
@@ -92,11 +98,27 @@ def compact(
             for f in os.listdir(part)
             if f.endswith(".parquet")
         )
-        files = max(1, -(-size // target_file_bytes))
-        df = spark.read.parquet(part).withColumn("date", F.lit(d).cast("date"))
-        df.coalesce(files).write.mode("overwrite").partitionBy("date").parquet(root)
-        n += 1
-    return n
+        plan.append((d, int(max(1, -(-size // target_file_bytes)))))
+    if not plan:
+        return 0
+    import datetime as _dt
+
+    fmap = spark.createDataFrame(
+        [(_dt.date.fromisoformat(d), n) for d, n in plan], "date date, _nf int"
+    )
+    df = spark.read.parquet(root).join(F.broadcast(fmap), "date")
+    slot = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c not in ("date", "_nf")]),
+                  F.col("_nf").cast("bigint"))
+    (
+        df.withColumn("_slot", slot)
+        .repartition(F.col("date"), F.col("_slot"))
+        .drop("_nf", "_slot")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(root)
+    )
+    return len(plan)
 
 
 def finest_available_tier(
