@@ -68,9 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WRITTEN tiers/chunks (oracle recomputes from raw -> write+read checked)
     q["serving_range"] = api.serving_range
     q["serving_points"] = api.serving_points
+    q["serving_range_filled"] = api.serving_range_filled
     q["retention_ladder"] = api.retention_ladder
     q["compaction_roundtrip"] = api.compaction_roundtrip
     q["streaming_rollup_1m"] = api.streaming_rollup_1m
+    q["streaming_state"] = api.streaming_state
     return q
 
 
@@ -93,10 +95,14 @@ def oracle_sql() -> dict[str, str]:
     o["top_customers_per_nation"] = api.ORACLE_TOP_CUSTOMERS_SQL
     o["serving_range"] = api.oracle_serving_range_sql()
     o["serving_points"] = api.oracle_serving_points_sql()
+    o["serving_range_filled"] = api.oracle_serving_range_filled_sql()
     o["retention_ladder"] = api.oracle_retention_ladder_sql()
     o["compaction_roundtrip"] = api.oracle_compaction_roundtrip_sql()
     # stream == batch after an AvailableNow drain -> the exact batch oracle
     o["streaming_rollup_1m"] = api.oracle_rollup_sql("1m")
+    # stateful streaming: final per-conv state after a full drain == the
+    # batch recomputation (totals + last-by-key + session count)
+    o["streaming_state"] = api.ORACLE_STREAMING_STATE_SQL
     # rows-only (no SQL oracle): gorilla_chunk_stats (binary blob sizes),
     # ann_lsh (approximate by design; recall vs brute force asserted in tests)
     return o

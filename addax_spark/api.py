@@ -29,11 +29,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-shaped table derived from `events` — identical to
-    TRANSCRIPTS_FROM_EVENTS_SQL (the oracle-side derivation)."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    TRANSCRIPTS_FROM_EVENTS_SQL (the oracle-side derivation).
+
+    The turn-numbering window partitions by conv_id (an injective alias of
+    user_id, so row numbers are identical) rather than user_id: the window's
+    own exchange then hash-partitions on conv_id, and alias-aware output
+    partitioning lets the downstream 1m aggregation AND every cascade step
+    satisfy their (conv_id, bucket) clustered distribution with NO further
+    exchange — the whole 4-tier cascade plans exactly one shuffle
+    (plan-asserted in tests/test_rollup_parity.py)."""
+    ev = load(spark, sf_dir, "events").select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        "event_id",
+        "event_type",
+        "ts",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return ev.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias("text"),
@@ -111,12 +124,19 @@ def gapfill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw NTZ column so the predicate reaches the parquet reader
     lo_ntz = F.to_timestamp(F.lit(lo)).cast("timestamp_ntz")
     hi_ntz = (F.to_timestamp(F.lit(hi)) + F.expr("INTERVAL 60 SECONDS")).cast("timestamp_ntz")
-    windowed = ev.filter((F.col("ts") >= lo_ntz) & (F.col("ts") < hi_ntz))
-    # transcript-shape the windowed slice; turn_idx becomes window-relative,
-    # which only feeds the last_* tiebreak columns dropped by the select below
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = windowed.select(
+    windowed = ev.filter((F.col("ts") >= lo_ntz) & (F.col("ts") < hi_ntz)).select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        "event_id",
+        "event_type",
+        "ts",
+    )
+    # transcript-shape the windowed slice; turn_idx becomes window-relative,
+    # which only feeds the last_* tiebreak columns dropped by the select below.
+    # Window by conv_id (injective alias of user_id) so the 1m rollup below
+    # reuses the window's exchange — same trick as transcripts_view.
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    t = windowed.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias("text"),
         F.col("ts").cast("timestamp").alias("ts"),
@@ -748,6 +768,7 @@ QUALIFY rk <= 3
 SERVING_WINDOW = ("2024-01-10 00:00:00", "2024-01-12 00:00:00")
 _SERVING_BUILDS: dict[str, str] = {}
 _SERVING_RAWS: dict[str, str] = {}
+_SERVING_SNAPSHOTS: dict[tuple[str, str], str] = {}
 
 
 def _serving_output(spark: SparkSession, sf_dir: str) -> str:
@@ -773,6 +794,24 @@ def _serving_output(spark: SparkSession, sf_dir: str) -> str:
 def _serving_raw(spark: SparkSession, sf_dir: str) -> str:
     _serving_output(spark, sf_dir)
     return _SERVING_RAWS[sf_dir]
+
+
+def _serving_snapshot(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Private copy of the shared serving build for MUTATING entries
+    (expire/compact): snapshot-copying keeps every entry's result
+    independent of entry execution order — the shared build is only ever
+    read (ADVICE r3: the old in-place mutation was content-safe for today's
+    windows but order-dependent by construction)."""
+    key = (sf_dir, tag)
+    if key in _SERVING_SNAPSHOTS:
+        return _SERVING_SNAPSHOTS[key]
+    import shutil
+
+    src = _serving_output(spark, sf_dir)
+    dst = f"{src}_snap_{tag}"
+    shutil.copytree(src, dst)
+    _SERVING_SNAPSHOTS[key] = dst
+    return dst
 
 
 def serving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,19 +868,127 @@ def streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def serving_range_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_range with gap-fill (fill='locf') over the written 1h tier —
+    the serving-side fill path (serving.py) driver-checked, not just the
+    raw gapfill operator: tier read -> window filter -> grid-floored spine
+    -> LOCF, all over the job's written output. Oracle recomputes the same
+    1h buckets from raw and replays the spine + LOCF in SQL."""
+    from .serving import query_range
+
+    lo, hi = SERVING_WINDOW
+    return query_range(
+        spark, _serving_output(spark, sf_dir), lo, hi, tier="1h", fill="locf"
+    ).select("conv_id", "bucket_start", "fill_method", "turn_count", "avg_len", "avg_len_locf")
+
+
+def oracle_serving_range_filled_sql() -> str:
+    lo, hi = SERVING_WINDOW
+    # query_range floors the spine to the 1h grid: last bucket = the one
+    # containing hi - 1us (bucket_start strictly < hi)
+    return f"""
+WITH r AS ({oracle_rollup_sql('1h')}),
+win AS (
+  SELECT * FROM r
+  WHERE bucket_start >= TIMESTAMP '{lo}' AND bucket_start < TIMESTAMP '{hi}'
+),
+spine AS (
+  SELECT conv_id, unnest(generate_series(
+    TIMESTAMP '{lo}',
+    TIMESTAMP '{hi}' - INTERVAL 3600 SECOND,
+    INTERVAL 3600 SECOND)) AS bucket_start
+  FROM (SELECT DISTINCT conv_id FROM win)
+),
+dense AS (
+  SELECT s.conv_id, s.bucket_start, w.turn_count, w.avg_len,
+         (w.conv_id IS NOT NULL) AS obs
+  FROM spine s LEFT JOIN win w
+    ON w.conv_id = s.conv_id AND w.bucket_start = s.bucket_start
+)
+SELECT conv_id, bucket_start,
+  CASE WHEN obs THEN 'observed' ELSE 'gap' END AS fill_method,
+  turn_count, avg_len,
+  last_value(CASE WHEN obs THEN avg_len END IGNORE NULLS) OVER (
+    PARTITION BY conv_id ORDER BY bucket_start
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_len_locf
+FROM dense
+"""
+
+
+def streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState),
+    driver-checked: stream_conversation_state is drained over the written
+    transcripts with Trigger.AvailableNow + NoTimeout; the memory sink
+    (update mode) accumulates one row per conversation per micro-batch it
+    changed in, and the FINAL state per conversation is the emission with
+    max n_turns (strictly increasing per conv, so the pick is
+    deterministic at any batching). Oracle = the batch recomputation:
+    per-conv totals + last-by-(ts, turn_idx) + inactivity-gap session
+    count — the reference analog is the Kafka bounded poll loop
+    (KafkaReader.java:125-133) feeding running counters."""
+    import re
+
+    from .streaming.rollup_stream import read_transcript_stream
+    from .streaming.stateful import stream_conversation_state
+
+    raw = _serving_raw(spark, sf_dir)
+    name = "sstate_" + re.sub(r"\W", "_", sf_dir)
+    q = (
+        stream_conversation_state(read_transcript_stream(spark, raw))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    m = lambda c: F.max_by(c, F.col("n_turns")).alias(c)  # noqa: E731
+    return t.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        m("sum_len"),
+        m("last_ts_us"),
+        m("last_turn_idx"),
+        m("n_sessions"),
+    )
+
+
+ORACLE_STREAMING_STATE_SQL = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+x AS (
+  SELECT conv_id, ts, turn_idx, length(text) AS len,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(len)::BIGINT AS sum_len,
+       max(epoch_us(ts))::BIGINT AS last_ts_us,
+       max_by(turn_idx, epoch_us(ts)::HUGEINT * 1000000 + turn_idx) AS last_turn_idx,
+       sum(is_new)::BIGINT AS n_sessions
+FROM x
+GROUP BY conv_id
+"""
+
+
 COMPACT_WINDOW = ("2024-01-20 00:00:00", "2024-01-21 00:00:00")
 
 
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction driver-checked as a content-preserving partition rewrite:
     retention.compact() rewrites the written 5m tier's partitions to
-    target-size files (dynamic partition overwrite), then query_range reads
-    a window back; the oracle recomputes those buckets from raw — any row
-    lost/duplicated/mutated by the rewrite hash-mismatches."""
+    target-size files (staged sibling dir + per-partition swap), then
+    query_range reads a window back; the oracle recomputes those buckets
+    from raw — any row lost/duplicated/mutated by the rewrite
+    hash-mismatches. Runs against a private snapshot of the serving build
+    so the (mutating) rewrite can't affect any other entry."""
     from .retention import compact
     from .serving import query_range
 
-    out = _serving_output(spark, sf_dir)
+    out = _serving_snapshot(spark, sf_dir, "compact")
     compact(spark, out, "5m")
     lo, hi = COMPACT_WINDOW
     return query_range(spark, out, lo, hi, tier="5m")
@@ -865,15 +1012,16 @@ def retention_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions past their 30-day horizon (idempotent, fixed `now`), then
     query_range with tier=None must route the pre-horizon window to the 5m
     tier — the oracle recomputes those 5m buckets from raw, so the ladder
-    pick AND the surviving tier's content are both verified. Mutation note:
-    this shares the per-process serving build with serving_range (1h) and
-    serving_points (chunks); dropping old 1m partitions touches neither."""
+    pick AND the surviving tier's content are both verified. Runs against a
+    private snapshot of the serving build: expire() deletes partitions, and
+    mutating the shared build would make other entries' results depend on
+    entry execution order."""
     import datetime as _dt
 
     from .retention import expire
     from .serving import query_range
 
-    out = _serving_output(spark, sf_dir)
+    out = _serving_snapshot(spark, sf_dir, "retention")
     now = _dt.date.fromisoformat(RETENTION_NOW)
     expire(out, now)
     lo, hi = RETENTION_WINDOW

@@ -215,7 +215,12 @@ def _incr_column(c: dict, typ: str):
     if typ in ("date", "timestamp"):
         fmt = c.get("dateFormat", _DEFAULT_DATE_FORMAT)
         step = int(fields[1]) if len(fields) > 1 else 1
-        unit = fields[2][0] if len(fields) > 2 else "d"
+        if len(fields) <= 2:
+            unit = "d"
+        else:
+            # an empty third field ("2024-01-01,1,") folds into the same
+            # error as an unknown unit — not an IndexError
+            unit = fields[2][0] if fields[2] else ""
         if unit not in _INCR_UNITS:
             raise ValueError(f"streamreader incr: invalid date unit {fields[2]!r}")
         start = F.to_timestamp(F.lit(fields[0]), fmt)
@@ -341,7 +346,23 @@ def _data_reader(spark: SparkSession, p: dict) -> DataFrame:
                 raise ValueError(f"datareader column {i}: constant rule needs a value")
             col = F.lit(None if str(v).lower() == "null" else v).cast(spark_typ)
         elif rule == "random":
-            lo, hi = (int(x) for x in str(c.get("random", c.get("value"))).split(",")[:2])
+            spec = c.get("random", c.get("value"))
+            if spec is None:
+                raise ValueError(
+                    f"datareader column {i}: random rule needs a 'lo,hi' range "
+                    "(random or value key)"
+                )
+            try:
+                lo, hi = (int(x) for x in str(spec).split(",")[:2])
+            except ValueError:
+                raise ValueError(
+                    f"datareader column {i}: random range must be 'lo,hi' integers, "
+                    f"got {spec!r}"
+                ) from None
+            if hi < lo:
+                raise ValueError(
+                    f"datareader column {i}: random range hi < lo ({spec!r})"
+                )
             col = (F.pmod(F.xxhash64(F.col("_row"), F.lit(i)), F.lit(hi - lo + 1)) + lo).cast(spark_typ)
         elif rule == "incr":
             col = _incr_column({"incr": c.get("incr", c.get("value")),

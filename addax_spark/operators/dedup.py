@@ -308,6 +308,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document is
     assigned its cluster representative (the MIN id reachable through pairs;
@@ -320,19 +321,43 @@ def dedup_clusters(
     cost scales with pairs, not corpus^2. Rounds needed = component
     diameter; near-dup clusters are shallow (a dup cluster's diameter is
     small by construction), and the loop stops as soon as a round changes
-    nothing. `localCheckpoint` truncates the per-iteration lineage —
-    without it the plan doubles every round and the driver dies planning,
-    the classic iterative-algorithm failure on Spark.
+    nothing. Checkpointing truncates the per-iteration lineage — without it
+    the plan doubles every round and the driver dies planning, the classic
+    iterative-algorithm failure on Spark.
+
+    ONE driver action per round: the changed-label count rides the round's
+    materializing ``count()`` as an ``observe`` metric over a ``_chg`` flag
+    computed in the propagation select itself (min-propagation is monotone,
+    so new_label != label is exactly "this node changed"), and the round's
+    checkpoint is LAZY — the same action materializes it. The previous
+    shape (eager checkpoint, then a join+count change check) ran two
+    sequential jobs per round: 2*diameter driver-latency turns.
+
+    ``reliable_checkpoint=True`` uses ``df.checkpoint()`` (requires
+    ``spark.sparkContext.setCheckpointDir``) instead of ``localCheckpoint``:
+    local checkpoint blocks live only in executor storage, so an executor
+    loss mid-loop kills the job unrecoverably — fine single-box, wrong for
+    a long cluster run. Reliable checkpointing re-runs the round's plan in
+    a second save job (Spark's documented checkpoint cost), trading one
+    extra job per round for fault tolerance.
 
     Deterministic: min() over ids; no randomness anywhere.
     """
+    from pyspark.sql import Observation
+
+    def _ckpt(d: DataFrame, eager: bool) -> DataFrame:
+        if reliable_checkpoint:
+            return d.checkpoint(eager=eager)
+        return d.localCheckpoint(eager=eager)
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    edges = _ckpt(
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        eager=True,
+    )
 
     labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
-    labels = labels.localCheckpoint()
+    labels = _ckpt(labels, eager=True)
     converged = False
     for _ in range(max_iters):
         nb = (
@@ -340,21 +365,21 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min("label").alias("nb_label"))
         )
-        new = (
-            labels.join(nb, id_col, "left")
-            .select(
+        new_label = F.least(F.col("label"), F.coalesce("nb_label", "label"))
+        new = _ckpt(
+            labels.join(nb, id_col, "left").select(
                 F.col(id_col),
-                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
+                new_label.alias("label"),
+                (new_label != F.col("label")).cast("long").alias("_chg"),
+            ),
+            eager=False,
         )
-        n_changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, id_col)
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
+        obs = Observation()
+        # the count() both materializes the lazy checkpoint AND collects the
+        # CollectMetrics sum — no second change-check job
+        new.observe(obs, F.sum("_chg").alias("n_changed")).count()
+        n_changed = obs.get["n_changed"] or 0
+        labels = new.drop("_chg")
         if n_changed == 0:
             converged = True
             break

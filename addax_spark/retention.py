@@ -82,11 +82,26 @@ def compact(
 
     ONE Spark action for all touched dates: per-date file targets come from
     a metadata-only size listing, each row gets a file slot hashed into
-    [0, files_for_its_date), and a single repartition(date, slot) + dynamic
-    partition overwrite rewrites everything. The per-date-loop alternative
-    is an action (plan + commit) per partition — a driver-serial section
-    that dominates at many partitions."""
+    [0, files_for_its_date), and a single repartition(date, slot) write
+    rewrites everything. The per-date-loop alternative is an action (plan +
+    commit) per partition — a driver-serial section that dominates at many
+    partitions.
+
+    Crash safety (ADVICE r3): the compacted output is STAGED to an
+    underscore-prefixed sibling dir (invisible to partition discovery) and
+    swapped in per partition: old -> hidden ``.bak`` rename, staged -> live
+    rename, then the bak is deleted. The exposed window is between the two
+    renames of one partition (recoverable from the retained ``.bak``) —
+    not the committer's whole delete-all-then-rename span. On Iceberg this
+    is rewrite_data_files' snapshot commit and needs none of this.
+
+    An explicit ``dates`` subset also FILTERS the read (typed date
+    predicate -> partition pruning), so compacting 3 of 365 partitions
+    scans 3, not 365."""
+    import datetime as _dt
+
     root = tier_root(output_root, tier)
+    explicit_dates = dates is not None
     dates = dates if dates is not None else list_date_partitions(root)
     plan: list[tuple[str, int]] = []
     for d in dates:
@@ -101,23 +116,34 @@ def compact(
         plan.append((d, int(max(1, -(-size // target_file_bytes)))))
     if not plan:
         return 0
-    import datetime as _dt
 
     fmap = spark.createDataFrame(
         [(_dt.date.fromisoformat(d), n) for d, n in plan], "date date, _nf int"
     )
-    df = spark.read.parquet(root).join(F.broadcast(fmap), "date")
+    df = spark.read.parquet(root)
+    if explicit_dates:
+        df = df.filter(F.col("date").isin([_dt.date.fromisoformat(d) for d, _ in plan]))
+    df = df.join(F.broadcast(fmap), "date")
     slot = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c not in ("date", "_nf")]),
                   F.col("_nf").cast("bigint"))
+    staged = os.path.join(os.path.dirname(root), f"_compact_{tier}")
+    shutil.rmtree(staged, ignore_errors=True)
     (
         df.withColumn("_slot", slot)
         .repartition(F.col("date"), F.col("_slot"))
         .drop("_nf", "_slot")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date")
-        .parquet(root)
+        .parquet(staged)
     )
+    for d, _ in plan:
+        live = os.path.join(root, f"date={d}")
+        bak = os.path.join(root, f".bak_date={d}")
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(live, bak)
+        os.rename(os.path.join(staged, f"date={d}"), live)
+        shutil.rmtree(bak)
+    shutil.rmtree(staged)
     return len(plan)
 
 

@@ -71,8 +71,8 @@ def run_to_memory(
     spark: SparkSession, src_path: str, name: str = "stream_rollup", tier: str = "1m"
 ) -> None:
     """Drain the source with availableNow and materialize into an in-memory
-    table (test/debug harness; production uses parquet/Iceberg sink with
-    checkpointLocation)."""
+    table (test/debug harness; the complete-mode memory sink holds the full
+    result driver-side — production is :func:`run_to_parquet`)."""
     q = (
         stream_rollup(read_transcript_stream(spark, src_path), tier)
         .writeStream.format("memory")
@@ -82,3 +82,51 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def run_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 10,
+    await_seconds: float | None = None,
+):
+    """The production sink path: append-mode parquet with a checkpoint.
+    Executors write finalized buckets straight to files — nothing
+    accumulates driver-side (the memory-sink harness is a driver bottleneck
+    at scale), and the checkpoint makes the stream resumable exactly-once:
+    kill mid-drain, restart with the same checkpoint_path, and the output
+    converges to the batch result with no loss or duplication
+    (tests/test_sources_streaming.py::test_stream_parquet_sink_resume).
+
+    Append mode only emits a window once the watermark passes its end, so a
+    bucket reaches the files exactly once, when it can no longer change —
+    the tier table's eventual-consistency contract. The windows within the
+    watermark at end-of-input stay in state until more data (or a restart
+    with later data) advances the watermark; a drain-style caller that
+    needs the tail flushed appends one sentinel row past
+    max(ts) + watermark (the test does exactly that). On a real cluster
+    the same code writes to an Iceberg table via toTable().
+
+    Returns the StreamingQuery; awaits termination (fully with
+    availableNow semantics when ``await_seconds`` is None, else at most
+    that many seconds — the kill-mid-drain hook)."""
+    q = (
+        stream_rollup(
+            read_transcript_stream(spark, src_path, max_files_per_trigger), tier, watermark
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is None:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(await_seconds)
+    return q

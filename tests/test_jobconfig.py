@@ -223,6 +223,33 @@ def test_streamreader_incr_sequences(spark):
         read([{"incr": "1,1", "type": "double"}])
     with pytest.raises(ValueError, match="invalid date unit"):
         read([{"incr": "2024-01-01 00:00:00,1,q", "type": "date"}])
+    # an empty unit field is the same config error, not an IndexError
+    with pytest.raises(ValueError, match="invalid date unit"):
+        read([{"incr": "2024-01-01 00:00:00,1,", "type": "date"}])
+
+
+def test_datareader_random_range_errors(spark):
+    """datareader random rule config errors raise clearly at compile time:
+    missing range, non-integer range, hi < lo (ADVICE r3 — the old path
+    surfaced int("None") or a runtime pmod-by-nonpositive failure)."""
+    from addax_spark.jobconfig import _read
+
+    def read(cols, n=2):
+        cfg = {"job": {"content": {
+            "reader": {"name": "datareader",
+                       "parameter": {"sliceRecordCount": n, "column": cols}},
+            "writer": {"name": "streamwriter", "parameter": {}}}}}
+        return _read(spark, job_from_config(cfg)).collect()
+
+    with pytest.raises(ValueError, match="needs a 'lo,hi' range"):
+        read([{"rule": "random", "type": "long"}])
+    with pytest.raises(ValueError, match="must be 'lo,hi' integers"):
+        read([{"rule": "random", "random": "a,b", "type": "long"}])
+    with pytest.raises(ValueError, match="hi < lo"):
+        read([{"rule": "random", "random": "9,5", "type": "long"}])
+    # valid range still works, inclusive bounds
+    vals = {r.col1 for r in read([{"rule": "random", "random": "3,4", "type": "long"}], n=16)}
+    assert vals <= {3, 4}
 
 
 def test_jsonpath_projected_json_job(spark, tmp_path):

@@ -116,3 +116,16 @@ def test_colocated_cascade_is_exchange_free(spark):
     # the colocate repartition replaces the 1m agg's exchange AND removes the
     # three cascade exchanges: exactly 3 fewer in total
     assert coloc == base - 3, f"expected {base - 3} exchanges, got {coloc}"
+
+
+def test_entry_cascade_single_exchange(spark):
+    """The driver-entry path (api.rollup_tier over events) plans ONE exchange
+    for the full 4-tier cascade: transcripts_view windows by conv_id (an
+    injective alias of user_id), so the window's own shuffle colocates every
+    downstream (conv_id, bucket) aggregation — alias-aware output
+    partitioning carries HashPartitioning(conv_id) through the projection."""
+    from addax_spark import api
+
+    df = api.rollup_tier(spark, "/root/testdata/sf0.001", "1d")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -101,6 +101,58 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
 
+def test_stream_parquet_sink_resume(spark, tmp_path):
+    """The production streaming path: append-mode parquet sink + checkpoint.
+    The query is killed mid-drain (stop after a bounded wait with
+    one-file-per-batch triggers), restarted on the SAME checkpoint, and the
+    final output equals the batch rollup exactly — no loss, no duplication,
+    wherever the kill landed (the file sink's _spark_metadata log discards
+    uncommitted files on read). A far-future sentinel row appended before
+    the final drain pushes the watermark past every real bucket so append
+    mode flushes the tail windows."""
+    from addax_spark.streaming.rollup_stream import run_to_parquet
+
+    src = str(tmp_path / "psink_src")
+    out = str(tmp_path / "psink_out")
+    ckpt = str(tmp_path / "psink_ckpt")
+    os.makedirs(src)
+    df = synth.transcripts(spark, n_convs=15, avg_turns=12)
+    # arrival order ~ event-time order (the watermark contract): six
+    # contiguous time-slice files — random file assignment would let batch 1
+    # advance the watermark past rows still sitting in later files, and
+    # append mode would (correctly) drop them as late
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    edges = [lo + (hi - lo) * i / 6 for i in range(1, 6)]
+    bounds = [(None, edges[0]), *zip(edges, edges[1:]), (edges[-1], None)]
+    for b0, b1 in bounds:
+        sl = df
+        if b0 is not None:
+            sl = sl.filter(F.col("ts") >= F.lit(b0))
+        if b1 is not None:
+            sl = sl.filter(F.col("ts") < F.lit(b1))
+        sl.coalesce(1).write.mode("append").parquet(src)
+
+    # phase 1: kill mid-drain (1 file per batch; stop after ~2s)
+    q = run_to_parquet(spark, src, out, ckpt, max_files_per_trigger=1, await_seconds=2.0)
+    q.stop()
+    q.awaitTermination()
+
+    # sentinel past max(ts) + watermark so every real window finalizes
+    max_ts = df.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [("__sentinel__", 0, "sys", "x", None, max_ts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    # phase 2: restart on the same checkpoint; full drain
+    run_to_parquet(spark, src, out, ckpt, max_files_per_trigger=1)
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != "__sentinel__")
+    exp = rollup_from_raw(df, "1m")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
 def test_stateful_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState running aggregates == batch rollup + sessionize
     after a full drain across micro-batches (state carried between batches)."""
