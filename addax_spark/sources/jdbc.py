@@ -44,16 +44,24 @@ class JdbcSpec:
 
 
 def split_predicates(
-    column: str, points: list[int], where: str | None = None, nullable: bool = True
+    column: str, points: list, where: str | None = None, nullable: bool = True
 ) -> list[str]:
     """Range predicates from explicit split points (the reference's sampled
     split-point strategy, SingleTableSplitUtil.java:271-329 + range->WHERE
-    assembly :345-372), including the separate IS NULL slice (:117-125)."""
+    assembly :345-372), including the separate IS NULL slice (:117-125).
+    String points (from :func:`string_radix_points`) are emitted as
+    single-quoted SQL literals with '' escaping."""
+
+    def lit(p) -> str:
+        if isinstance(p, str):
+            return "'" + p.replace("'", "''") + "'"
+        return str(p)
+
     preds = []
     w = f" AND ({where})" if where else ""
     for lo, hi in zip(points[:-1], points[1:]):
-        preds.append(f"{column} >= {lo} AND {column} < {hi}{w}")
-    preds.append(f"{column} >= {points[-1]}{w}")
+        preds.append(f"{column} >= {lit(lo)} AND {column} < {lit(hi)}{w}")
+    preds.append(f"{column} >= {lit(points[-1])}{w}")
     if nullable:
         preds.append(f"{column} IS NULL{w}")
     return preds
@@ -69,6 +77,53 @@ def equal_width_points(lo: int, hi: int, n: int) -> list[int]:
     for i in range(n - 1):
         cur += width + (1 if i < rem else 0)
         pts.append(cur)
+    return pts
+
+
+def string_radix_points(lo: str, hi: str, n: int) -> list[str]:
+    """Equal-width split points for an ASCII string pk (the reference's
+    radix-128 string split, core/.../util/RangeSplitUtil.java:38-56 string->
+    BigInteger and :137-209 split/back-conversion; re-derived, not
+    translated). Needed because Spark's native JDBC partitioning only
+    accepts numeric/date partition columns — a parallel ingest keyed on a
+    string pk has no built-in path.
+
+    Strings order-embed into base-128 integers after right-padding to a
+    common length with NUL (the minimum character): the first differing
+    character occupies the higher place value, so lexicographic order on
+    ASCII strings == numeric order of the embeddings, padding included
+    (a proper prefix pads with 0 and sorts first, matching SQL). The
+    integer range splits via :func:`equal_width_points` and the points map
+    back to strings (trailing NULs trimmed). Points are lexicographically
+    ordered within [lo, hi], so ``pk >= p_i AND pk < p_{i+1}`` predicates
+    tile the keyspace exactly like the numeric path. Interior points may
+    contain non-printable ASCII — legal in predicates, and inherent to any
+    radix construction (the reference's shares it). Equal-width on a skewed
+    key distribution splits unevenly — same caveat as the numeric path;
+    the sampled-split-points strategy remains the skew-resistant option.
+    """
+    for name, s in (("lo", lo), ("hi", hi)):
+        if any(ord(c) > 127 for c in s):
+            raise ValueError(f"string_radix_points: {name} is not ASCII: {s!r}")
+    if hi < lo:
+        raise ValueError(f"string_radix_points: hi < lo ({hi!r} < {lo!r})")
+    width = max(len(lo), len(hi))
+
+    def to_int(s: str) -> int:
+        v = 0
+        for i in range(width):
+            v = v * 128 + (ord(s[i]) if i < len(s) else 0)
+        return v
+
+    def to_str(v: int) -> str:
+        digits = []
+        for _ in range(width):
+            v, d = divmod(v, 128)
+            digits.append(chr(d))
+        return "".join(reversed(digits)).rstrip("\x00")
+
+    pts = [to_str(p) for p in equal_width_points(to_int(lo), to_int(hi), n)]
+    pts[0] = lo  # exact bound (to_str round-trips it, but be explicit)
     return pts
 
 

@@ -72,6 +72,31 @@ def test_jdbc_split_math(spark):
     assert jdbc.equal_width_points(0, 10, 3) == [0, 4, 7]
 
 
+def test_string_radix_split():
+    """ASCII string-pk split (RangeSplitUtil radix-128 analog): points are
+    lexicographically ordered, bounded by [lo, hi], tile the keyspace, and
+    the derived predicates quote string literals."""
+    pts = jdbc.string_radix_points("aaa", "zzz", 8)
+    assert len(pts) == 8
+    assert pts[0] == "aaa"
+    assert pts == sorted(pts)
+    assert all("aaa" <= p <= "zzz" for p in pts)
+    # each split point is distinct -> 8 non-empty ranges
+    assert len(set(pts)) == 8
+    # a prefix lower bound pads low and sorts first
+    pts2 = jdbc.string_radix_points("a", "ab", 3)
+    assert pts2[0] == "a" and all("a" <= p <= "ab" for p in pts2) and pts2 == sorted(pts2)
+    # degenerate and error cases
+    assert jdbc.string_radix_points("x", "x", 4) == ["x"]
+    with pytest.raises(ValueError, match="not ASCII"):
+        jdbc.string_radix_points("é", "z", 2)
+    with pytest.raises(ValueError, match="hi < lo"):
+        jdbc.string_radix_points("b", "a", 2)
+    # predicates quote + escape string points
+    preds = jdbc.split_predicates("pk", ["a'b", "m"], nullable=False)
+    assert preds == ["pk >= 'a''b' AND pk < 'm'", "pk >= 'm'"]
+
+
 def test_table_sink_modes(spark, tmp_path):
     t = str(tmp_path / "t")
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
