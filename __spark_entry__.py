@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_dedup"] = api.minhash_dedup
     q["simhash"] = api.simhash
     q["dedup_clusters"] = api.dedup_clusters
+    q["corpus_keep"] = api.corpus_keep
     q["stratified_sample"] = api.stratified_sample
     q["embedding_dedup"] = api.embedding_dedup
     q["embedding_lsh_dedup"] = api.embedding_lsh_dedup

@@ -323,6 +323,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_clusters(docs, pairs)
 
 
+def corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision: minhash-LSH pairs -> connected
+    components -> one kept representative per cluster by (quality DESC,
+    doc_id) — the full keep/drop pipeline a training-corpus run ships, as
+    ONE driver-checked result. The oracle recomputes every stage
+    independently (exhaustive Jaccard edges, recursive-CTE closure,
+    exact-ratio quality, same ranking window)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = _dedup.dedup_clusters(docs, pairs)
+    return _dedup.keep_representatives(clusters, _text.quality_score(docs))
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20-docs-per-language sample in portable md5-hash
     order — reproducible at any parallelism and recomputable by the
@@ -402,6 +415,7 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "minhash_dedup": _dedup.ngram_jaccard_pairs_sql(threshold=0.5),
         "simhash": _dedup.simhash64_sql(),
         "dedup_clusters": _dedup.dedup_clusters_sql(threshold=0.5),
+        "corpus_keep": _dedup.keep_representatives_sql(threshold=0.5),
         "stratified_sample": oracle_stratified_sample_sql(),
         "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "embedding_lsh_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
@@ -805,11 +819,14 @@ def _serving_snapshot(spark: SparkSession, sf_dir: str, tag: str) -> str:
     key = (sf_dir, tag)
     if key in _SERVING_SNAPSHOTS:
         return _SERVING_SNAPSHOTS[key]
+    import os
     import shutil
 
     src = _serving_output(spark, sf_dir)
     dst = f"{src}_snap_{tag}"
-    shutil.copytree(src, dst)
+    # both mutating consumers (expire/compact) touch only the tiers table —
+    # skip the chunks dir, the bulkiest artifact of the build
+    shutil.copytree(os.path.join(src, "tiers"), os.path.join(dst, "tiers"))
     _SERVING_SNAPSHOTS[key] = dst
     return dst
 

@@ -164,6 +164,8 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
         return _data_reader(spark, p)
     if name in STORAGE_READERS:
         return _storage_reader(spark, p, jobspec)
+    if name == "httpreader":
+        return _http_reader(spark, p)
     if name in JDBC_READERS:
         conn = (p.get("connection") or [{}])[0]
         url = conn.get("jdbcUrl")
@@ -194,6 +196,50 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
 _INCR_UNITS = {"d": "DAY", "M": "MONTH", "y": "YEAR", "w": "WEEK",
                "h": "HOUR", "m": "MINUTE", "s": "SECOND"}
 _DEFAULT_DATE_FORMAT = "yyyy-MM-dd HH:mm:ss"  # core/.../base/Constant.java:28
+
+
+def _http_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """httpreader config twin (HttpKey.java key names: connection.url,
+    reqParams, headers, username/password/token, resultKey, column,
+    isPage/pageParams{pageSize,pageIndex}{key,value}). Adds `maxPages` —
+    not in the reference — to unlock the executor-parallel page fan-out
+    (sources/http.py); without it, paging probes sequentially exactly like
+    HttpReader.java:309-324."""
+    from .sources.http import HttpReadSpec, read_http
+
+    conn = p.get("connection") or {}
+    if isinstance(conn, list):
+        conn = conn[0] if conn else {}
+    url = conn.get("url") or p.get("url")
+    if not url:
+        raise ValueError("httpreader: connection.url is required")
+    page_params = p.get("pageParams") or {}
+    def _pp(key, dflt_key, dflt_val):
+        c = page_params.get(key) or {}
+        return c.get("key", dflt_key), int(c.get("value", dflt_val))
+
+    size_key, size_val = _pp("pageSize", "pageSize", 20)
+    idx_key, idx_val = _pp("pageIndex", "pageIndex", 1)
+    spec = HttpReadSpec(
+        url=url,
+        method=p.get("method", "GET"),
+        params=p.get("reqParams") or {},
+        headers=p.get("headers") or {},
+        username=p.get("username"),
+        password=p.get("password"),
+        token=p.get("token"),
+        token_header=p.get("tokenHeader", "Authorization"),
+        token_prefix=p.get("tokenPrefix", "Bearer "),
+        result_key=p.get("resultKey", ""),
+        columns=p.get("column"),
+        timeout=int(p.get("timeout", 60)),
+        page_size=size_val if p.get("isPage") else None,
+        page_index_key=idx_key,
+        page_size_key=size_key,
+        start_index=idx_val,
+        max_pages=int(p["maxPages"]) if p.get("maxPages") is not None else None,
+    )
+    return read_http(spark, spec)
 
 
 def _incr_column(c: dict, typ: str):

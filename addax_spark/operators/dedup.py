@@ -393,6 +393,53 @@ def dedup_clusters(
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 
+def keep_representatives(
+    clusters: DataFrame, quality: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The keep/drop decision a corpus-curation run actually ships: one
+    representative per near-dup cluster, chosen by (quality DESC, id ASC) —
+    every document gets a row with its cluster, its quality, and a boolean
+    ``keep`` (singletons keep themselves). Deterministic: the quality tie
+    breaks on the id, so the kept set is a fixed row set at any parallelism.
+
+    One shuffle on cluster_id for the ranking window; rows = corpus size,
+    so the plan scales like any keyed window — no all-pairs anything.
+    ``quality`` is any (id, quality) table; operators.text.quality_score
+    provides the standard one.
+    """
+    from pyspark.sql import Window
+
+    # left join: a document without a quality row still gets a decision
+    # (ranked after scored docs, nulls-last made EXPLICIT so the oracle and
+    # any engine agree), honoring the every-document-gets-a-row contract
+    j = clusters.join(quality.select(id_col, "quality"), id_col, "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc_nulls_last(), F.col(id_col)
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("quality"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def keep_representatives_sql(source: str = "documents", threshold: float = 0.5) -> str:
+    """Oracle: clusters via the recursive-CTE closure, quality via the
+    exact-ratio feature SQL, representative by the same (quality DESC, id)
+    window — the full curation pipeline recomputed independently."""
+    from .text import quality_score_sql
+
+    return f"""
+WITH c AS ({dedup_clusters_sql(source, threshold)}),
+q AS ({quality_score_sql(source)})
+SELECT c.doc_id, c.cluster_id, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC NULLS LAST, c.doc_id) = 1) AS keep
+FROM c LEFT JOIN q ON c.doc_id = q.doc_id
+"""
+
+
 def dedup_clusters_sql(source: str = "documents", threshold: float = 0.5) -> str:
     """Oracle: transitive closure by recursive CTE over the SAME exact
     all-pairs Jaccard edges; cluster = min reachable id."""

@@ -136,15 +136,26 @@ def compact(
         .partitionBy("date")
         .parquet(staged)
     )
+    swapped = 0
     for d, _ in plan:
         live = os.path.join(root, f"date={d}")
+        new = os.path.join(staged, f"date={d}")
+        if not os.path.isdir(new):
+            # a planned partition that produced no staged output (e.g. its
+            # files hold zero rows) must be left as-is, not renamed away
+            continue
         bak = os.path.join(root, f".bak_date={d}")
         shutil.rmtree(bak, ignore_errors=True)
         os.rename(live, bak)
-        os.rename(os.path.join(staged, f"date={d}"), live)
+        try:
+            os.rename(new, live)
+        except BaseException:
+            os.rename(bak, live)  # restore — never leave the partition hidden
+            raise
         shutil.rmtree(bak)
+        swapped += 1
     shutil.rmtree(staged)
-    return len(plan)
+    return swapped
 
 
 def finest_available_tier(

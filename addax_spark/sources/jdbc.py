@@ -96,11 +96,14 @@ def string_radix_points(lo: str, hi: str, n: int) -> list[str]:
     integer range splits via :func:`equal_width_points` and the points map
     back to strings (trailing NULs trimmed). Points are lexicographically
     ordered within [lo, hi], so ``pk >= p_i AND pk < p_{i+1}`` predicates
-    tile the keyspace exactly like the numeric path. Interior points may
-    contain non-printable ASCII — legal in predicates, and inherent to any
-    radix construction (the reference's shares it). Equal-width on a skewed
-    key distribution splits unevenly — same caveat as the numeric path;
-    the sampled-split-points strategy remains the skew-resistant option.
+    tile the keyspace exactly like the numeric path. Interior points are
+    sanitized to printable, quote/backslash-free ASCII (raw radix digits
+    can land on NUL or a quote, which PG rejects and MySQL mis-escapes);
+    a sanitized point that would break strict ordering is dropped, so the
+    tiling stays correct with at most a few fewer ranges. Equal-width on a
+    skewed key distribution splits unevenly — same caveat as the numeric
+    path; the sampled-split-points strategy remains the skew-resistant
+    option.
     """
     for name, s in (("lo", lo), ("hi", hi)):
         if any(ord(c) > 127 for c in s):
@@ -122,8 +125,27 @@ def string_radix_points(lo: str, hi: str, n: int) -> list[str]:
             digits.append(chr(d))
         return "".join(reversed(digits)).rstrip("\x00")
 
-    pts = [to_str(p) for p in equal_width_points(to_int(lo), to_int(hi), n)]
-    pts[0] = lo  # exact bound (to_str round-trips it, but be explicit)
+    def sanitize(s: str) -> str:
+        # interior split points are synthetic — keep them printable and
+        # quote/backslash-free so the emitted SQL literal is portable
+        # across dialects (MySQL backslash-escaping, PG NUL rejection);
+        # the slight value nudge is fine because a split point only needs
+        # to lie strictly between its neighbors, enforced below
+        out = []
+        for c in s:
+            o = ord(c)
+            out.append(" " if o < 0x20 else chr(o + 1) if c in ("'", "\\") else c)
+        return "".join(out)
+
+    raw = equal_width_points(to_int(lo), to_int(hi), n)
+    pts = [lo]  # exact user bound, passed through verbatim
+    for p in raw[1:]:
+        s = sanitize(to_str(p))
+        # sanitizing can only nudge upward; drop any point that no longer
+        # falls strictly inside (prev, hi] — the ranges remain a correct
+        # tiling, just occasionally one fewer
+        if pts[-1] < s <= hi:
+            pts.append(s)
     return pts
 
 

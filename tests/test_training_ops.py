@@ -192,6 +192,29 @@ def test_dedup_clusters_one_action_per_round(spark):
     assert n_jobs <= 8, f"expected <= 8 jobs (1 action/round), got {n_jobs}"
 
 
+def test_keep_representatives(spark):
+    """Curation keep/drop: exactly one keep per cluster, chosen by
+    (quality DESC, id ASC); singletons keep themselves."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (3, 1), (5, 1), (2, 2), (6, 2), (4, 4)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (3, 0.9), (5, 0.9), (2, 0.1), (6, 0.1), (4, 0.7)],
+        "doc_id long, quality double",
+    )
+    rows = dedup.keep_representatives(clusters, quality).collect()
+    kept = {r.doc_id for r in rows if r.keep}
+    # cluster 1: 3 and 5 tie on quality -> lower id (3); cluster 2: tie -> 2
+    assert kept == {3, 2, 4}
+    assert len(rows) == 6  # every doc present with its decision
+    # a doc with NO quality row still gets a decision (nulls rank last)
+    rows2 = dedup.keep_representatives(
+        clusters, quality.filter("doc_id <> 4")
+    ).collect()
+    by_id = {r.doc_id: r for r in rows2}
+    assert len(rows2) == 6 and by_id[4].quality is None and by_id[4].keep
+
+
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     """reliable_checkpoint=True (cluster fault-tolerance mode) produces the
     same assignment via df.checkpoint() against a checkpoint dir."""
