@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_lsh_dedup"] = api.embedding_lsh_dedup
     q["topk_cosine"] = api.topk_cosine
     q["ann_lsh"] = api.ann_lsh
+    q["ann_ivf"] = api.ann_ivf
     q["transform_chain"] = api.transform_chain
     # time-series relational ops
     q["asof_join"] = api.asof_join_events

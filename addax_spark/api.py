@@ -372,6 +372,24 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _similarity.ann_lsh_topk(emb, qs, k=10)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FULL probe (nprobe == n_centroids), driver-checked
+    against the exact brute-force oracle: the inverted lists must tile the
+    corpus exactly — a vector dropped, double-assigned or mis-reranked
+    anywhere in train -> assign -> probe -> re-rank hash-mismatches. The
+    sub-quadratic operating point (nprobe << n_centroids) is characterized
+    in tests: this synthetic corpus's near-uniform geometry (top-1 cosine
+    ~0.37) is IVF's worst case, so its partial-probe recall is documented
+    low there rather than oracled here."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ann_ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=16)
+
+
 def transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's transformer chain semantics (dx_substr -> dx_pad ->
     dx_replace -> dx_map -> dx_filter) on documents."""
@@ -420,6 +438,8 @@ def oracle_text_dedup_sqls() -> dict[str, str]:
         "embedding_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "embedding_lsh_dedup": _dedup.embedding_cosine_pairs_sql(threshold=0.45),
         "topk_cosine": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
+        # full-probe IVF == exact top-k (list-tiling + re-rank machinery check)
+        "ann_ivf": _similarity.brute_topk_sql(10, TOPK_QUERY_IDS),
         "transform_chain": ORACLE_TRANSFORM_CHAIN_SQL,
     }
 

@@ -6,6 +6,12 @@
 - ann_lsh: random-hyperplane LSH bucketing — deterministic hyperplanes
   derived from md5 (no RNG state), multi-table probing, exact re-rank of
   candidates. Approximate: verified by recall tests, not a SQL oracle.
+- ann_ivf: inverted-file index — k-means centroids trained on a bounded
+  deterministic sample, corpus vectors assigned to their nearest centroid
+  (one matmul per Arrow batch), queries probe the nprobe nearest lists,
+  exact re-rank. The second canonical ANN scale path next to LSH: the
+  candidate join shuffles on centroid id and scans ~nprobe/n_centroids of
+  the corpus per query.
 
 Vector math uses F.aggregate/F.zip_with left-folds in double — sequential,
 deterministic, matching the oracle's list_reduce fold order.
@@ -184,6 +190,138 @@ def ann_lsh_topk(
         .filter(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id", "cv_raw", "qv_raw")
         .dropDuplicates(["q_id", "c_id"])
+    )
+    cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
+    qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))
+    scored = cands.withColumn("cos", _dot(cv, qv) / (_norm(cv) * _norm(qv)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
+    )
+
+
+# ----------------------------------------------------------------- IVF / ANN
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 1,
+    max_sample: int = 262_144,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids for an IVF index.
+
+    Trains on a BOUNDED deterministic sample (keep id when
+    xxhash-mod-sample_mod == 0, hard-capped at max_sample rows) collected
+    to the driver in id-sorted order — the standard IVF recipe (train on a
+    sample, assign the full corpus distributed); at 100 TB pick sample_mod
+    so the sample stays ~1e5 vectors (a few hundred MB). Determinism:
+    fixed id-sort, evenly-spaced init over the sorted sample, numpy
+    float64 reductions in a single process — no RNG, no partition-order
+    dependence (a distributed mean would sum floats in nondeterministic
+    partition order and flip assignments run-to-run). Spherical: vectors
+    L2-normalized, centroid = normalized mean, similarity = dot == cosine.
+    Empty clusters re-seed deterministically from the farthest points.
+    """
+    s = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod > 1:
+        s = s.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    rows = s.orderBy("_id").limit(max_sample).collect()
+    V = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    n = len(V)
+    k = min(n_centroids, n)
+    C = V[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        sim = V @ C.T  # (n, k)
+        assign = sim.argmax(axis=1)
+        for j in range(k):
+            members = V[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / np.linalg.norm(m)
+            else:
+                # deterministic re-seed: the point least similar to its centroid
+                far = (sim.max(axis=1)).argmin()
+                C[j] = V[far]
+    return C
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    iters: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: every corpus vector is
+    assigned to its nearest centroid (one matmul per Arrow batch), each
+    query probes its ``nprobe`` nearest lists, and the candidates get an
+    exact cosine re-rank (same (rank, rounded cosine) output contract as
+    brute_topk / ann_lsh_topk).
+
+    Scale shape: the candidate join shuffles on the centroid id, so a query
+    touches ~nprobe/n_centroids of the corpus instead of all of it, and the
+    corpus-side assignment is embarrassingly parallel. Recall on a FIXED
+    corpus is deterministic (training, assignment and probing are all
+    deterministic), so — like embedding_lsh_pairs — a (n_centroids, nprobe)
+    setting with measured recall 1.0 can be driver-checked against the
+    exact brute-force oracle."""
+    import pandas as pd
+
+    C = ivf_train_centroids(corpus, n_centroids, iters, vec_col, id_col, sample_mod)
+
+    def assigner(idc: str, out_id: str, probes: int):
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                sim = Vn @ C.T
+                if probes == 1:
+                    yield pd.DataFrame(
+                        {
+                            out_id: pdf[idc].to_numpy(),
+                            vec_col: pdf[vec_col].to_numpy(),
+                            "cid": sim.argmax(axis=1).astype(np.int32),
+                        }
+                    )
+                else:
+                    top = np.argsort(-sim, axis=1, kind="stable")[:, :probes]
+                    reps = np.repeat(np.arange(len(V)), probes)
+                    yield pd.DataFrame(
+                        {
+                            out_id: pdf[idc].to_numpy()[reps],
+                            vec_col: pdf[vec_col].to_numpy()[reps],
+                            "cid": top.ravel().astype(np.int32),
+                        }
+                    )
+
+        return assign
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    cb = corpus.select(id_col, vec_col).mapInPandas(
+        assigner(id_col, "c_id", 1), schema=f"c_id {id_t}, {vec_col} {vec_t}, cid int"
+    ).withColumnRenamed(vec_col, "cv_raw")
+    qb = queries.select("q_id", vec_col).mapInPandas(
+        assigner("q_id", "q_id", nprobe),
+        schema=f"q_id {queries.schema['q_id'].dataType.simpleString()}, {vec_col} {vec_t}, cid int",
+    ).withColumnRenamed(vec_col, "qv_raw")
+    cands = (
+        cb.join(qb, "cid")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "cv_raw", "qv_raw")
     )
     cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
     qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))

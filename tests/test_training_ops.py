@@ -41,6 +41,35 @@ def test_ann_exact_on_candidates(spark):
         assert brute.get((r.q_id, r.c_id)) == r.cosine
 
 
+def test_ann_ivf_full_probe_exact_and_subset(spark):
+    """IVF machinery contract: with nprobe == n_centroids the candidate set
+    is the whole corpus (the inverted lists must tile it — any dropped or
+    double-assigned vector breaks equality), so the result must equal
+    brute force bit-for-bit. A subset probe returns a subset of candidates
+    whose cosines are exact (re-rank correctness), and the recall curve on
+    THIS corpus is documented low: near-uniform vector geometry (top-1
+    cosine ~0.37) is IVF's worst case — neighbor lists barely correlate
+    with centroid assignment; on real clustered embeddings nprobe <<
+    n_centroids is the operating point."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.rank, r.c_id, r.cosine)
+             for r in similarity.brute_topk(emb, qs, k=10).collect()}
+    full = {(r.q_id, r.rank, r.c_id, r.cosine)
+            for r in similarity.ann_ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=16).collect()}
+    assert full == exact
+    # deterministic at any parallelism (training sample is id-sorted)
+    full2 = {(r.q_id, r.rank, r.c_id, r.cosine)
+             for r in similarity.ann_ivf_topk(
+                 emb.repartition(13), qs, k=10, n_centroids=16, nprobe=16).collect()}
+    assert full2 == full
+    # subset probe: exact cosines on whatever it returns
+    brute_cos = {(r.q_id, r.c_id): r.cosine
+                 for r in similarity.brute_topk(emb, qs, k=500).collect()}
+    for r in similarity.ann_ivf_topk(emb, qs, k=10, n_centroids=12, nprobe=6).collect():
+        assert brute_cos.get((r.q_id, r.c_id)) == r.cosine
+
+
 def test_planted_duplicates_found(spark):
     docs = spark.createDataFrame(
         [
