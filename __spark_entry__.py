@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pivot_1h"] = api.pivot_1h
     q["sessionize"] = api.sessionize_events
     q["rollup_value_1h"] = api.rollup_value_1h
+    q["rolling_1h"] = api.rolling_1h
+    q["median_value_by_type"] = api.median_value_by_type
     q["pricing_summary"] = api.pricing_summary
     q["revenue_by_nation"] = api.revenue_by_nation
     q["local_supplier_volume"] = api.local_supplier_volume
@@ -90,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(api.oracle_text_dedup_sqls())
     o.update(api.oracle_timeseries_sqls())
     o["rollup_value_1h"] = api.ORACLE_ROLLUP_VALUE_SQL
+    o["rolling_1h"] = api.ORACLE_ROLLING_SQL
+    o["median_value_by_type"] = api.ORACLE_MEDIAN_SQL
     o["pricing_summary"] = api.ORACLE_PRICING_SQL
     o["revenue_by_nation"] = api.ORACLE_REVENUE_SQL
     o["local_supplier_volume"] = api.ORACLE_LOCAL_SUPPLIER_SQL

@@ -542,6 +542,48 @@ def oracle_timeseries_sqls() -> dict[str, str]:
     }
 
 
+def rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h moving-window metrics per event (RANGE frame over epoch
+    micros — the 'activity in the hour ending now' continuous query the
+    fixed tier buckets can't answer)."""
+    from .operators.timeseries import rolling_metrics
+
+    return rolling_metrics(load(spark, sf_dir, "events"), window_s=3600)
+
+
+ORACLE_ROLLING_SQL = """
+SELECT user_id, ts, event_id,
+       count(*) OVER w AS n_win,
+       (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE AS sum_win,
+       (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE / count(*) OVER w AS avg_win,
+       min(value) OVER w AS min_win,
+       max(value) OVER w AS max_win
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+"""
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median of `value` per event type by element selection
+    (interpolated percentiles are a cross-engine last-ulp hash hazard;
+    picking the actual element at rank ceil(n/2) is bit-portable)."""
+    from .operators.timeseries import grouped_median
+
+    return grouped_median(load(spark, sf_dir, "events"), ["event_type"])
+
+
+ORACLE_MEDIAN_SQL = """
+WITH x AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value AS median_value, n FROM x WHERE rn = ceil(n / 2.0)
+"""
+
+
 def rollup_value_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric rollup over the events value column: DECIMAL(18,2)
     accumulation (the input has 2dp values) -> exact, order-independent

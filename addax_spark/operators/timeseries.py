@@ -134,3 +134,72 @@ def sessionize(
             ).alias("duration_s"),
         )
     )
+
+
+def rolling_metrics(
+    df: DataFrame,
+    window_s: int = 3600,
+    keys: list[str] = ["user_id"],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing moving-window aggregates per event: for every row, the
+    count / exact DECIMAL sum / exact-ratio avg / min / max of the series'
+    values in the last ``window_s`` seconds INCLUSIVE of the current row
+    (window = (t - window_s, t], expressed as a RANGE frame over integer
+    epoch-micros — the continuous-query staple the fixed tier buckets
+    can't answer: "activity in the hour ending *now*", per event).
+
+    One shuffle on the series key; the RANGE frame runs in a single sorted
+    pass per series (no self-join / interval explosion). RANGE frames
+    treat equal-timestamp rows as peers on every engine, so ties need no
+    order tie-break for the aggregates to be deterministic. Sums
+    accumulate in DECIMAL(18,2) (exact, order-independent) and avg is
+    derived sum/count — bit-identical cross-engine (CLAUDE.md parity
+    rules).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(us)
+        .rangeBetween(-(window_s * 1_000_000 - 1), 0)
+    )
+    vdec = F.col(value_col).cast("decimal(18,2)")
+    return df.select(
+        *keys,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(vdec).over(w).cast("double").alias("sum_win"),
+        (F.sum(vdec).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_win"),
+        F.min(value_col).over(w).alias("min_win"),
+        F.max(value_col).over(w).alias("max_win"),
+    )
+
+
+def grouped_median(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact lower-median per group by ELEMENT SELECTION, not interpolation:
+    the value at sorted position ceil(n/2) under the total order
+    (value, id). Interpolated percentiles (Spark `percentile`, DuckDB
+    `quantile_cont`) compute the midpoint in engine-specific expression
+    order — a last-ulp hash hazard; selecting an actual element is
+    bit-portable by construction. One shuffle on the group key, a single
+    window pass (WindowGroupLimit-style early filter applies: rn is
+    bounded by the filter)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
+        .select(
+            *keys,
+            F.col(value_col).alias("median_value"),
+            F.col("_n").alias("n"),
+        )
+    )
