@@ -27,6 +27,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _conv_events(ev: DataFrame) -> DataFrame:
+    """events projected to (conv_id, event_id, event_type, ts) with the
+    injective conv alias computed BEFORE the turn-numbering window — the
+    alias-partitioning trick transcripts_view documents."""
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        "event_id",
+        "event_type",
+        "ts",
+    )
+
+
 def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-shaped table derived from `events` — identical to
     TRANSCRIPTS_FROM_EVENTS_SQL (the oracle-side derivation).
@@ -38,12 +50,7 @@ def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfy their (conv_id, bucket) clustered distribution with NO further
     exchange — the whole 4-tier cascade plans exactly one shuffle
     (plan-asserted in tests/test_rollup_parity.py)."""
-    ev = load(spark, sf_dir, "events").select(
-        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
-        "event_id",
-        "event_type",
-        "ts",
-    )
+    ev = _conv_events(load(spark, sf_dir, "events"))
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return ev.select(
         "conv_id",
@@ -124,12 +131,7 @@ def gapfill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw NTZ column so the predicate reaches the parquet reader
     lo_ntz = F.to_timestamp(F.lit(lo)).cast("timestamp_ntz")
     hi_ntz = (F.to_timestamp(F.lit(hi)) + F.expr("INTERVAL 60 SECONDS")).cast("timestamp_ntz")
-    windowed = ev.filter((F.col("ts") >= lo_ntz) & (F.col("ts") < hi_ntz)).select(
-        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
-        "event_id",
-        "event_type",
-        "ts",
-    )
+    windowed = _conv_events(ev.filter((F.col("ts") >= lo_ntz) & (F.col("ts") < hi_ntz)))
     # transcript-shape the windowed slice; turn_idx becomes window-relative,
     # which only feeds the last_* tiebreak columns dropped by the select below.
     # Window by conv_id (injective alias of user_id) so the 1m rollup below
@@ -354,22 +356,23 @@ def oracle_stratified_sample_sql() -> str:
 TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
-def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+def _topk_queries(emb: DataFrame) -> DataFrame:
+    """The fixed query set shared by every top-k entry (and their oracle)."""
+    return emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return _similarity.brute_topk(emb, qs, k=10)
+
+
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return _similarity.brute_topk(emb, _topk_queries(emb), k=10)
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN (rows-only driver check; recall vs brute force is
     asserted in tests/test_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    return _similarity.ann_lsh_topk(emb, qs, k=10)
+    return _similarity.ann_lsh_topk(emb, _topk_queries(emb), k=10)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,10 +387,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    return ann_ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=16)
+    return ann_ivf_topk(emb, _topk_queries(emb), k=10, n_centroids=16, nprobe=16)
 
 
 def transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:

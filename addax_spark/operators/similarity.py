@@ -89,6 +89,21 @@ SELECT q_id, rank, c_id, round(cos, 9) AS cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def _exact_rerank(cands: DataFrame, k: int) -> DataFrame:
+    """(q_id, c_id, cv_raw, qv_raw) candidates -> exact cosine re-rank,
+    top-k per query with the shared (rank, rounded cosine) output contract
+    (used by both the LSH and IVF candidate generators)."""
+    cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
+    qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))
+    scored = cands.withColumn("cos", _dot(cv, qv) / (_norm(cv) * _norm(qv)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
+    )
+
+
 # ----------------------------------------------------------------- LSH / ANN
 
 
@@ -191,15 +206,7 @@ def ann_lsh_topk(
         .select("q_id", "c_id", "cv_raw", "qv_raw")
         .dropDuplicates(["q_id", "c_id"])
     )
-    cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
-    qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))
-    scored = cands.withColumn("cos", _dot(cv, qv) / (_norm(cv) * _norm(qv)))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
-    )
+    return _exact_rerank(cands, k)
 
 
 # ----------------------------------------------------------------- IVF / ANN
@@ -323,12 +330,4 @@ def ann_ivf_topk(
         .filter(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id", "cv_raw", "qv_raw")
     )
-    cv = F.transform(F.col("cv_raw"), lambda x: x.cast("double"))
-    qv = F.transform(F.col("qv_raw"), lambda x: x.cast("double"))
-    scored = cands.withColumn("cos", _dot(cv, qv) / (_norm(cv) * _norm(qv)))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "c_id", F.round("cos", 9).alias("cosine"))
-    )
+    return _exact_rerank(cands, k)
