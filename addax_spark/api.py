@@ -1021,15 +1021,9 @@ def streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    t = spark.table(name)
-    m = lambda c: F.max_by(c, F.col("n_turns")).alias(c)  # noqa: E731
-    return t.groupBy("conv_id").agg(
-        F.max("n_turns").alias("n_turns"),
-        m("sum_len"),
-        m("last_ts_us"),
-        m("last_turn_idx"),
-        m("n_sessions"),
-    )
+    from .streaming.stateful import final_state
+
+    return final_state(spark.table(name))
 
 
 ORACLE_STREAMING_STATE_SQL = f"""

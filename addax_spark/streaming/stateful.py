@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -124,6 +125,71 @@ def _update(
             }
         ]
     )
+
+
+def run_state_to_parquet(
+    spark,
+    src_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 10,
+):
+    """Production sink for the stateful operator: each micro-batch's updated
+    rows land in parquet via foreachBatch, partitioned by batch_id with a
+    per-partition dynamic overwrite — a REPLAYED batch (restart after a
+    mid-drain kill) overwrites its own partition, so the output is
+    exactly-once per batch id without a transactional sink. Nothing
+    accumulates driver-side (the memory-sink harness used by the driver
+    entry is the test surface, not this path).
+
+    Readers recover the latest state per conversation with
+    ``max_by(*, n_turns)`` — n_turns is strictly increasing per conv across
+    emissions, so the reduction is also idempotent under any residual
+    duplication. Returns the StreamingQuery after a full AvailableNow
+    drain."""
+    from .rollup_stream import read_transcript_stream
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream_conversation_state(
+            read_transcript_stream(spark, src_path, max_files_per_trigger)
+        )
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def final_state(emissions: DataFrame) -> DataFrame:
+    """Latest per-conversation state from accumulated update-mode emissions
+    (memory table or file-sink rows): max_by every column on n_turns —
+    strictly increasing per conv, so the pick is deterministic at any
+    batching and idempotent under duplication."""
+    m = lambda c: F.max_by(c, F.col("n_turns")).alias(c)  # noqa: E731
+    return emissions.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        m("sum_len"),
+        m("last_ts_us"),
+        m("last_turn_idx"),
+        m("n_sessions"),
+    )
+
+
+def latest_state(spark, out_path: str) -> DataFrame:
+    """Latest per-conversation state from a run_state_to_parquet output."""
+    return final_state(spark.read.parquet(out_path))
 
 
 def stream_conversation_state(

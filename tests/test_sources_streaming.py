@@ -316,6 +316,70 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
         assert g.n_sessions == sess[cid], cid
 
 
+def test_stateful_parquet_sink_resume(spark, tmp_path):
+    """Production sink for the stateful operator: foreachBatch writes each
+    micro-batch's emissions to a batch_id partition with dynamic overwrite
+    (a replayed batch overwrites itself -> exactly-once per batch id). The
+    query is killed mid-drain, restarted on the SAME checkpoint (restoring
+    per-conversation state), and latest_state over the files equals the
+    batch totals — counts, sums, last turn — for every conversation."""
+    from addax_spark.streaming.stateful import latest_state, run_state_to_parquet
+
+    src = str(tmp_path / "ssink_src")
+    out = str(tmp_path / "ssink_out")
+    ckpt = str(tmp_path / "ssink_ckpt")
+    os.makedirs(src)
+    df = synth.transcripts(spark, n_convs=12, avg_turns=18)
+    # turn-range files: conversations span batches (state must carry across
+    # the kill/restart) while each conversation's turns arrive in order
+    for lo, hi in [(0, 4), (4, 9), (9, 14), (14, 10**9)]:
+        df.filter((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    # phase 1: kill mid-drain (1 file per batch; bounded wait then stop)
+    from addax_spark.streaming.rollup_stream import read_transcript_stream
+    from addax_spark.streaming.stateful import stream_conversation_state
+
+    q = (
+        stream_conversation_state(read_transcript_stream(spark, src, 1))
+        .writeStream.foreachBatch(
+            lambda d, bid: d.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(2.0)
+    q.stop()
+    q.awaitTermination()
+
+    # phase 2: restart on the same checkpoint; full drain
+    run_state_to_parquet(spark, src, out, ckpt, max_files_per_trigger=1)
+
+    got = {r.conv_id: r for r in latest_state(spark, out).collect()}
+    exp = {
+        r.conv_id: r
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("s"),
+            F.max(F.struct("ts", "turn_idx")).alias("last"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for cid, e in exp.items():
+        g = got[cid]
+        assert g.n_turns == e.n and g.sum_len == e.s, cid
+        assert g.last_turn_idx == e.last.turn_idx, cid
+
+
 def test_table_upsert(spark, tmp_path):
     from addax_spark.sinks.table import upsert, read_table
 
