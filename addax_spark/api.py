@@ -576,9 +576,11 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MEDIAN_SQL = """
 WITH x AS (
   SELECT event_type, value, event_id,
-         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC NULLS LAST, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type, value AS median_value, n FROM x WHERE rn = ceil(n / 2.0)
 """

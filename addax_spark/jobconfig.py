@@ -167,7 +167,8 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
     if name == "httpreader":
         return _http_reader(spark, p)
     if name in JDBC_READERS:
-        conn = (p.get("connection") or [{}])[0]
+        conn = p.get("connection") or [{}]
+        conn = conn[0] if isinstance(conn, list) else conn
         url = conn.get("jdbcUrl")
         url = url[0] if isinstance(url, list) else url
         r = (
@@ -176,14 +177,45 @@ def _read(spark: SparkSession, jobspec: ComposedJob) -> DataFrame:
             .option("user", p.get("username", ""))
             .option("password", p.get("password", ""))
         )
+        if p.get("driver"):  # reference optional `driver` key (rdbmsreader)
+            r = r.option("driver", p["driver"])
         if p.get("querySql"):
+            if p.get("splitPk"):
+                raise ValueError(
+                    "splitPk with querySql is a config error: the reference "
+                    "splits table-mode reads only (ReaderSplitUtil.java)"
+                )
             q = p["querySql"]
             r = r.option("query", q[0] if isinstance(q, list) else q)
         else:
             tbl = conn.get("table")
-            r = r.option("dbtable", tbl[0] if isinstance(tbl, list) else tbl)
-        if p.get("splitPk"):
-            r = r.option("partitionColumn", p["splitPk"])
+            tbl = tbl[0] if isinstance(tbl, list) else tbl
+            r = r.option("dbtable", tbl)
+            if p.get("splitPk"):
+                # reference auto-bounds: SingleTableSplitUtil.java:271-329
+                # queries MIN/MAX of the split pk, then tiles equal-width
+                # ranges; Spark needs the same bounds for partitionColumn.
+                # One 1-row bounds query, numPartitions = channel setting.
+                pk = p["splitPk"]
+                bq = (
+                    spark.read.format("jdbc")
+                    .option("url", url)
+                    .option("user", p.get("username", ""))
+                    .option("password", p.get("password", ""))
+                    .option("query", f"SELECT MIN({pk}) AS LO, MAX({pk}) AS HI FROM {tbl}")
+                )
+                if p.get("driver"):
+                    bq = bq.option("driver", p["driver"])
+                lo, hi = bq.load().first()
+                if lo is None:
+                    raise ValueError(f"splitPk {pk!r}: table {tbl!r} is empty "
+                                     "or the pk is all-NULL — nothing to split")
+                r = (
+                    r.option("partitionColumn", pk)
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
+                    .option("numPartitions", str(jobspec.channel or 4))
+                )
         if p.get("fetchSize"):
             r = r.option("fetchsize", str(p["fetchSize"]))
         return r.load()
@@ -656,7 +688,8 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
                 "connection; storage/iceberg writers run them via spark.sql — "
                 "refusing to silently drop lifecycle SQL"
             )
-        conn = (p.get("connection") or [{}])[0]
+        conn = p.get("connection") or [{}]
+        conn = conn[0] if isinstance(conn, list) else conn
         url = conn.get("jdbcUrl")
         url = url[0] if isinstance(url, list) else url
         tbl = conn.get("table")
@@ -673,13 +706,15 @@ def _write(spark: SparkSession, df: DataFrame, jobspec: ComposedJob) -> int:
                 "sinks.table.upsert/replace"
             )
         mode = {"insert": "append", "append": "append", "truncate": "overwrite"}.get(wm, "append")
-        (
+        w = (
             df.write.format("jdbc").mode(mode)
             .option("url", url).option("dbtable", tbl)
             .option("user", p.get("username", ""))
             .option("password", p.get("password", ""))
-            .save()
         )
+        if p.get("driver"):
+            w = w.option("driver", p["driver"])
+        w.save()
         return int(obs.get["n"])
 
     raise ValueError(f"unsupported writer {name!r}")

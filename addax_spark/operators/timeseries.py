@@ -191,8 +191,17 @@ def grouped_median(
     order — a last-ulp hash hazard; selecting an actual element is
     bit-portable by construction. One shuffle on the group key, a single
     window pass (WindowGroupLimit-style early filter applies: rn is
-    bounded by the filter)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(value_col), F.col(id_col))
+    bounded by the filter).
+
+    NULL values are excluded on both sides (standard SQL aggregate
+    semantics) — they must never enter the rank: Spark windows default
+    NULLS FIRST, DuckDB NULLS LAST, so a NULL in the order column shifts
+    rank-ceil(n/2) differently per engine. The ordering is additionally
+    pinned asc_nulls_last as defense in depth."""
+    df = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col)
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))

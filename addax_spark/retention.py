@@ -69,6 +69,31 @@ def expire(
     return dropped
 
 
+def recover_orphaned_partitions(root: str) -> list[str]:
+    """Crash recovery for the compact() swap (ADVICE r4): a death between
+    the two renames of one partition leaves its data only as hidden
+    ``.bak_date=<d>`` — invisible to partition discovery, so a later
+    compact() would silently skip that date forever. Before planning,
+    restore any bak whose live dir is missing (crash mid-swap) and drop
+    any bak whose live dir exists (crash after the swap, before cleanup —
+    the live copy is the newer compacted one). Returns the dates restored."""
+    restored: list[str] = []
+    if not os.path.isdir(root):
+        return restored
+    for p in os.listdir(root):
+        if not p.startswith(".bak_date="):
+            continue
+        d = p.split("=", 1)[1]
+        live = os.path.join(root, f"date={d}")
+        bak = os.path.join(root, p)
+        if os.path.isdir(live):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, live)
+            restored.append(d)
+    return restored
+
+
 def compact(
     spark: SparkSession,
     output_root: str,
@@ -101,6 +126,7 @@ def compact(
     import datetime as _dt
 
     root = tier_root(output_root, tier)
+    recover_orphaned_partitions(root)
     explicit_dates = dates is not None
     dates = dates if dates is not None else list_date_partitions(root)
     plan: list[tuple[str, int]] = []

@@ -62,6 +62,12 @@ class HttpReadSpec:
     page_size_key: str = "pageSize"
     start_index: int = 1
     max_pages: int | None = None  # known -> executor-parallel fetch
+    # safety cap on the sequential stop-on-short-page probe: a server that
+    # always returns exactly page_size records (cycling error envelope,
+    # off-by-one API) would otherwise spin the driver loop forever,
+    # accumulating rows in memory (ADVICE r4). The reference loop is
+    # unbounded (HttpReader.java:309-324); here it errors out loudly.
+    page_limit: int = 100_000
 
 
 def _request_headers(spec: HttpReadSpec) -> dict:
@@ -99,13 +105,26 @@ def _fetch(spec: HttpReadSpec, extra_params: dict) -> str:
         return resp.read().decode(resp.headers.get_content_charset() or "utf-8")
 
 
-def _result_objects(body: str, result_key: str) -> list[dict]:
+def _result_objects(body: str, result_key: str, strict: bool = False) -> list[dict]:
     """Response body -> list of record objects: resultKey path (plain key or
-    dotted), array -> records, single object -> one record."""
+    dotted), array -> records, single object -> one record.
+
+    ``strict`` distinguishes 'resultKey path ABSENT' (an error envelope —
+    raise, ADVICE r4) from 'path present but empty array' (a legitimate
+    short/empty page -> []). The executor fan-out uses strict: it has no
+    short-page stop signal, so a silently-dropped page would be
+    indistinguishable from success; the sequential probe stays lenient —
+    a missing key there reads as a short page and stops the loop, the
+    reference's own behavior."""
     data = json.loads(body)
     if result_key:
         for part in result_key.lstrip("$").lstrip(".").split("."):
             if not isinstance(data, dict) or part not in data:
+                if strict:
+                    raise ValueError(
+                        f"httpreader: resultKey path {result_key!r} absent in "
+                        f"response (failed at {part!r}) — error envelope?"
+                    )
                 return []
             data = data[part]
     if isinstance(data, list):
@@ -152,7 +171,7 @@ def read_http(spark: SparkSession, spec: HttpReadSpec) -> DataFrame:
             for pdf in batches:
                 for page in pdf["id"]:
                     body = _fetch(s, {idx_key: int(page), size_key: size})
-                    objs = _result_objects(body, s.result_key)
+                    objs = _result_objects(body, s.result_key, strict=True)
                     if objs:
                         yield pd.DataFrame({"value": [json.dumps(o) for o in objs]})
 
@@ -182,6 +201,13 @@ def read_http(spark: SparkSession, spec: HttpReadSpec) -> DataFrame:
             if len(objs) < spec.page_size:
                 break
             page += 1
+            if page - spec.start_index >= spec.page_limit:
+                raise ValueError(
+                    f"httpreader: sequential page probe exceeded page_limit="
+                    f"{spec.page_limit} without a short page — the endpoint "
+                    "may repeat pages forever; raise page_limit or pass "
+                    "max_pages for the bounded executor-parallel path"
+                )
     cols = _resolve_columns(spec, first_body or "{}")
     raw = spark.createDataFrame([(r,) for r in rows], "value string")
     return _project(raw, cols)

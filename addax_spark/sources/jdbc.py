@@ -16,9 +16,11 @@ templates WriterUtil.java:166-309) -> df.write.jdbc for insert;
 MERGE/upsert belongs to the lakehouse layer (Iceberg MERGE INTO), not
 driver-side SQL splicing.
 
-No database is available in this container — functions build configs and
-predicates (unit-testable); the spark.read.jdbc call itself is exercised
-only when a URL is reachable.
+Executed end-to-end in-sandbox against embedded Apache Derby (the one JDBC
+engine whose driver ships in Spark's own jars/): write -> table read ->
+querySql read -> partitioned read -> explicit split predicates all
+round-trip (tests/test_jdbc_derby.py). Other dialects differ only in the
+URL/driver strings Spark dispatches on.
 """
 
 from __future__ import annotations
@@ -41,6 +43,14 @@ class JdbcSpec:
     num_partitions: int = 1
     fetch_size: int = 2048
     where: str | None = None
+    driver: str | None = None  # JDBC driver class (reference `driver` key)
+    # Spark createTableColumnTypes override (e.g. "PK VARCHAR(64)"): some
+    # dialects map StringType to a LOB type (Derby -> CLOB) that cannot be
+    # compared/split on; a string pk must be created as VARCHAR
+    create_table_column_types: str | None = None
+    # explicit per-partition WHERE clauses (one task each) — the reference's
+    # sampled/radix split-point mode; mutually exclusive with partition_column
+    predicates: list[str] | None = None
 
 
 def split_predicates(
@@ -50,10 +60,21 @@ def split_predicates(
     split-point strategy, SingleTableSplitUtil.java:271-329 + range->WHERE
     assembly :345-372), including the separate IS NULL slice (:117-125).
     String points (from :func:`string_radix_points`) are emitted as
-    single-quoted SQL literals with '' escaping."""
+    single-quoted SQL literals with '' escaping. Backslashes are REJECTED
+    rather than escaped (ADVICE r4): there is no dialect-portable escape —
+    default-mode MySQL reads ``\\`` as an escape sequence, standard-SQL
+    engines read it literally — so a backslash in a user-supplied bound
+    would silently shift the range on one dialect or the other. Interior
+    radix points are already sanitized backslash-free."""
 
     def lit(p) -> str:
         if isinstance(p, str):
+            if "\\" in p:
+                raise ValueError(
+                    "split_predicates: backslash in string split point "
+                    f"{p!r} has no dialect-portable SQL escaping; strip it "
+                    "from the bound or use sampled split points"
+                )
             return "'" + p.replace("'", "''") + "'"
         return str(p)
 
@@ -150,11 +171,28 @@ def string_radix_points(lo: str, hi: str, n: int) -> list[str]:
 
 
 def read_jdbc(spark: SparkSession, spec: JdbcSpec) -> DataFrame:
+    if spec.predicates:
+        # explicit split-point mode: one partition per WHERE clause (the
+        # reference's task-per-range, CommonRdbmsReader.java:237-278) —
+        # DataFrameReader.jdbc(predicates=...) is the only API surface
+        props = {"fetchsize": str(spec.fetch_size)}
+        if spec.user:
+            props["user"], props["password"] = spec.user, spec.password or ""
+        if spec.driver:
+            props["driver"] = spec.driver
+        table = spec.table
+        if spec.where:
+            table = f"(SELECT * FROM {spec.table} WHERE {spec.where}) t"
+        return spark.read.jdbc(
+            spec.url, table, predicates=list(spec.predicates), properties=props
+        )
     r = (
         spark.read.format("jdbc")
         .option("url", spec.url)
         .option("fetchsize", str(spec.fetch_size))
     )
+    if spec.driver:
+        r = r.option("driver", spec.driver)
     if spec.user:
         r = r.option("user", spec.user).option("password", spec.password or "")
     if spec.query:
@@ -175,13 +213,16 @@ def read_jdbc(spark: SparkSession, spec: JdbcSpec) -> DataFrame:
 
 
 def write_jdbc(df: DataFrame, spec: JdbcSpec, mode: str = "append", batch_size: int = 2048) -> None:
-    (
+    w = (
         df.write.format("jdbc")
         .option("url", spec.url)
         .option("dbtable", spec.table)
         .option("user", spec.user or "")
         .option("password", spec.password or "")
         .option("batchsize", str(batch_size))
-        .mode(mode)
-        .save()
     )
+    if spec.driver:
+        w = w.option("driver", spec.driver)
+    if spec.create_table_column_types:
+        w = w.option("createTableColumnTypes", spec.create_table_column_types)
+    w.mode(mode).save()

@@ -132,3 +132,40 @@ def test_date_partitioned_input_discovery(spark, raw_path, tmp_path_factory):
         a, b = _table(spark, out_flat, tier), _table(spark, out_part, tier)
         assert a.count() == b.count()
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
+
+
+def test_compact_recovers_orphaned_bak(spark, tmp_path):
+    """Crash recovery for the compact swap (ADVICE r4): a partition left only
+    as hidden .bak_date=<d> (death between the two renames) is restored before
+    planning; a stale bak whose live dir exists (death after the swap) is
+    dropped in favor of the newer compacted copy."""
+    import shutil
+
+    out = str(tmp_path / "ret")
+    root = retention.tier_root(out, "1h")
+    df = spark.createDataFrame(
+        [(f"c{i}", dt.date(2024, 1, 1 + i % 3), i) for i in range(30)],
+        "conv_id string, date date, n long",
+    )
+    df.repartition(2).write.partitionBy("date").parquet(root)
+    dates = retention.list_date_partitions(root)
+    assert len(dates) == 3
+    full = spark.read.parquet(root)
+    exp = sorted((r.conv_id, r.n) for r in full.collect())
+
+    # simulate a crash mid-swap: one partition exists only as .bak
+    victim = dates[0]
+    os.rename(os.path.join(root, f"date={victim}"),
+              os.path.join(root, f".bak_date={victim}"))
+    assert retention.list_date_partitions(root) == dates[1:]  # invisible
+
+    # and a stale bak beside a live (newer) partition
+    stale = dates[1]
+    shutil.copytree(os.path.join(root, f"date={stale}"),
+                    os.path.join(root, f".bak_date={stale}"))
+
+    assert retention.compact(spark, out, "1h") == 3  # all three live again
+    assert retention.list_date_partitions(root) == dates
+    assert not any(p.startswith(".bak_date=") for p in os.listdir(root))
+    got = sorted((r.conv_id, r.n) for r in spark.read.parquet(root).collect())
+    assert got == exp  # no rows lost or duplicated through recovery + compact

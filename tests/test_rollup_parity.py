@@ -129,3 +129,36 @@ def test_entry_cascade_single_exchange(spark):
     df = api.rollup_tier(spark, "/root/testdata/sf0.001", "1d")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_grouped_median_null_values_cross_engine(spark, ddb, tmp_path_factory):
+    """NULL values must not enter the median rank (ADVICE r4): Spark windows
+    default NULLS FIRST, DuckDB NULLS LAST, so a NULL in the order column
+    shifts rank-ceil(n/2) differently per engine. grouped_median excludes
+    NULLs on both sides — verify exact parity on data WITH nulls."""
+    from addax_spark.operators.timeseries import grouped_median
+
+    p = str(tmp_path_factory.mktemp("mednull") / "ev.parquet")
+    rows = [
+        ("a", i, None if i % 3 == 0 else float(i)) for i in range(10)
+    ] + [("b", i, None) for i in range(4)] + [("c", i, float(i % 4)) for i in range(7)]
+    spark.createDataFrame(rows, "grp string, event_id int, value double").write.mode(
+        "overwrite"
+    ).parquet(p)
+    got = grouped_median(
+        spark.read.parquet(p), ["grp"], value_col="value", id_col="event_id"
+    )
+    exp = ddb.execute(f"""
+        WITH x AS (
+          SELECT grp, value, event_id,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY value ASC NULLS LAST, event_id) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM read_parquet('{p}/*.parquet')
+          WHERE value IS NOT NULL
+        )
+        SELECT grp, value AS median_value, n FROM x WHERE rn = ceil(n / 2.0)
+    """).df()
+    # group b is all-NULL -> excluded entirely on both sides
+    assert sorted(r.grp for r in got.select("grp").collect()) == ["a", "c"]
+    assert_df_equal(got, exp, ["grp"])

@@ -526,3 +526,77 @@ def test_table_replace_mode(spark, tmp_path):
     replace(spark, delta, t, ["id"], ["part"])
     got = {r.id: r.v for r in read_table(spark, t).collect()}
     assert got == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_split_predicates_rejects_backslash():
+    """A backslash in a user-supplied string bound has no dialect-portable
+    SQL escaping (MySQL default mode reads it as an escape, standard SQL
+    reads it literally) — reject loudly instead of shifting a range
+    silently on one dialect (ADVICE r4)."""
+    with pytest.raises(ValueError, match="backslash"):
+        jdbc.split_predicates("pk", ["a\\b", "m"], nullable=False)
+
+
+def test_http_reader_guardrails(spark):
+    """ADVICE r4 hardening: (a) a server that always returns exactly
+    page_size records must not spin the sequential probe forever —
+    page_limit bounds it with a loud error; (b) in the executor fan-out a
+    page whose resultKey path is ABSENT (error envelope) fails the read
+    instead of silently dropping the page, while a present-but-empty array
+    still reads as a legitimate empty page."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            idx = int(q.get("pageIndex", ["1"])[0])
+            size = int(q.get("pageSize", ["2"])[0])
+            mode = urllib.parse.urlparse(self.path).path
+            if mode == "/forever":  # always a full page -> never a short page
+                body = {"result": [{"id": idx * 100 + j} for j in range(size)]}
+            elif mode == "/flaky":  # page 2 is an error envelope, no resultKey
+                body = (
+                    {"error": "rate limited"}
+                    if idx == 2
+                    else {"result": [{"id": idx * 100 + j} for j in range(size)]}
+                )
+            else:  # /empty: resultKey present, array empty
+                body = {"result": []}
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from addax_spark.sources.http import HttpReadSpec, read_http
+
+        with pytest.raises(ValueError, match="page_limit"):
+            read_http(spark, HttpReadSpec(
+                url=f"{base}/forever", result_key="result",
+                columns=["id"], page_size=2, page_limit=5,
+            ))
+
+        with pytest.raises(Exception, match="resultKey path 'result' absent"):
+            read_http(spark, HttpReadSpec(
+                url=f"{base}/flaky", result_key="result",
+                columns=["id"], page_size=2, max_pages=3,
+            )).collect()
+
+        ok = read_http(spark, HttpReadSpec(
+            url=f"{base}/empty", result_key="result",
+            columns=["id"], page_size=2, max_pages=2,
+        ))
+        assert ok.count() == 0  # empty array != error envelope
+    finally:
+        srv.shutdown()
