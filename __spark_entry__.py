@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["serving_range"] = api.serving_range
     q["serving_points"] = api.serving_points
     q["serving_range_filled"] = api.serving_range_filled
+    q["serving_range_linear"] = api.serving_range_linear
     q["retention_ladder"] = api.retention_ladder
     q["compaction_roundtrip"] = api.compaction_roundtrip
     q["streaming_rollup_1m"] = api.streaming_rollup_1m
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
     o["serving_range"] = api.oracle_serving_range_sql()
     o["serving_points"] = api.oracle_serving_points_sql()
     o["serving_range_filled"] = api.oracle_serving_range_filled_sql()
+    o["serving_range_linear"] = api.oracle_serving_range_linear_sql()
     o["retention_ladder"] = api.oracle_retention_ladder_sql()
     o["compaction_roundtrip"] = api.oracle_compaction_roundtrip_sql()
     # stream == batch after an AvailableNow drain -> the exact batch oracle

@@ -185,10 +185,27 @@ def jaccard_verify(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
+    """signatures -> banded LSH candidates -> exact-Jaccard verify.
+
+    ``materialize`` (default on) pins the two fan-out points with eager
+    executor-local checkpoints: the signature stage is consumed TWICE by the
+    bucket self-join and the candidate stage THREE times by the verify
+    (broadcast(pairs) + the two legs of the candidate-id semi-join) — left
+    lazy, Spark re-runs the whole upstream pipeline per consumer (measured
+    6.0 s -> 2.1 s at sf0.1). Candidates are sparse by design, so both
+    checkpoints are small relative to the corpus; at full 100 TB scale the
+    natural form of the same break is WRITING signatures/pairs to a table
+    between stages (as the cluster/serving builds do), which also restores
+    lineage-free fault tolerance."""
     sigs = minhash_signatures(df, text_col, id_col)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col)
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
     return jaccard_verify(cands, df, text_col, id_col, threshold)
 
 

@@ -98,7 +98,17 @@ def gapfill(
 
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     w_back = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    # "next observed" is expressed as a RUNNING frame over DESCENDING bucket
+    # order, not first_value over (0, unboundedFollowing): Spark executes an
+    # UnboundedFollowing frame by re-aggregating the partition remainder for
+    # EVERY row — O(n^2) per series (measured 13x on the gapfill_1m entry:
+    # 7.7s -> 0.6s at sf0.1) — while a running frame is incremental O(n).
+    # Same exchange (identical partitioning), one extra in-partition sort.
+    w_fwd_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     b_us = F.unix_micros(F.col(bucket_col).cast("timestamp"))
 
     out = full.withColumn(
@@ -111,8 +121,8 @@ def gapfill(
         if "linear" in methods:
             prev_v = F.last(obs_val, ignorenulls=True).over(w_back)
             prev_b = F.last(F.when(F.col("_obs").isNotNull(), b_us), ignorenulls=True).over(w_back)
-            next_v = F.first(obs_val, ignorenulls=True).over(w_fwd)
-            next_b = F.first(F.when(F.col("_obs").isNotNull(), b_us), ignorenulls=True).over(w_fwd)
+            next_v = F.last(obs_val, ignorenulls=True).over(w_fwd_run)
+            next_b = F.last(F.when(F.col("_obs").isNotNull(), b_us), ignorenulls=True).over(w_fwd_run)
             frac = (b_us - prev_b).cast("double") / (next_b - prev_b).cast("double")
             interp = F.when(
                 F.col("_obs").isNotNull(), F.col(c).cast("double")
