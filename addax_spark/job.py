@@ -65,6 +65,14 @@ class RollupJobSpec:
     # covers the whole batch (amortizes per-action overhead); the manifest
     # records each day so resume granularity stays per-day
     unit_batch: int = 16
+    # salted_writes=True restores the pre-r5 (date, conv-salt) repartition
+    # before every partitionBy write: bounds files/dir at _WRITE_SALT and
+    # keeps write tasks fine-grained (better slot interleaving at very low
+    # core counts), at the cost of a full extra shuffle per tier — for the
+    # 1m tier that shuffle carries last_text, i.e. ~raw-sized bytes. The
+    # default writes straight from the conv_id-clustered cascade/arrange
+    # output (the dynamic-partition writer sorts by date per task).
+    salted_writes: bool = False
     # job-level lifecycle hooks — the reference's preHandle/postHandle
     # (JobContainer.java:106-189): pre_hook(spark, spec) runs before unit
     # discovery, post_hook(spark, spec, summary) after the summary is built
@@ -96,11 +104,24 @@ def list_date_partitions(spark: SparkSession, path: str) -> list[str] | None:
 
 
 def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
-    """Execute (or resume) a rollup job; returns the metrics summary."""
+    """Execute (or resume) a rollup job; returns the metrics summary.
+
+    The summary carries a ``phases`` dict of accumulated per-phase driver
+    wall seconds (discover / tier counts / writer join / metrics / manifest)
+    — the reference's PerfRecord phase accounting (PerfRecord.java:162-180)
+    re-expressed, and the tool for attributing the per-job fixed term that
+    caps N->4N scaling efficiency."""
+    ph: dict[str, float] = {}
+
+    def _ph(key: str, t0: float) -> None:
+        ph[key] = round(ph.get(key, 0.0) + (time.time() - t0), 3)
+
+    t_ph = time.time()
     if spec.pre_hook is not None:
         spec.pre_hook(spark, spec)
     raw = spark.read.parquet(spec.input_path)
     man = Manifest(spark, f"{spec.output_root}/_manifest", spec.job_id)
+    _ph("init", t_ph)
 
     # --- split: enumerate day units. Preferred input layout is
     # date-partitioned (date=YYYY-MM-DD): discovery is a pure partition
@@ -108,6 +129,7 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
     # layout falls back to a ts-column-pruned distinct — a one-column scan
     # of the whole input before any work; fine at test scale, a documented
     # cost at 100 TB (repartition the landing zone by date instead).
+    t_ph = time.time()
     part_days = list_date_partitions(spark, spec.input_path)
     if part_days is not None:
         import datetime as _dt
@@ -123,7 +145,10 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             r.d.isoformat() for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
         )
         day_filter = lambda batch: F.to_date("ts").isin(batch)  # noqa: E731
+    _ph("discover", t_ph)
+    t_ph = time.time()
     done = man.done_keys()
+    _ph("manifest_resume", t_ph)
     pending = [d for d in days if d not in done]
     if spec.max_units is not None:
         pending = pending[: spec.max_units]
@@ -166,18 +191,26 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
         # partitionOverwriteMode pinned PER WRITE: with a user-supplied
         # session (default static) a batch overwrite would wipe ALL
         # previously written partitions and a resume would delete completed
-        # days' output. The repartition key includes a small conv-hash salt:
-        # keying on the date column alone puts an entire (tier, date) cell
-        # (the 1m tier of a whole day — millions of rows) through ONE writer
-        # task, a serial section that caps scaling; the salt fans each cell
-        # out to <= _WRITE_SALT tasks while keeping files-per-directory
-        # bounded at _WRITE_SALT.
+        # days' output.
+        #
+        # No repartition before partitionBy: every writer input here (tier
+        # cascade output, arranged chunk table) is ALREADY hash(conv_id)-
+        # clustered, so the dynamic-partition writer's implicit per-task sort
+        # on `date` fans each (tier, date) cell across ALL n_parts tasks —
+        # strictly more write parallelism than the old (date, salt)
+        # repartition, and it deletes a full extra shuffle per tier (for the
+        # 1m tier that shuffle carried last_text, i.e. ~raw-sized bytes;
+        # measured the largest single scaling cost in the r5 phase profile).
+        # Cost: files/dir = n_parts per date instead of _WRITE_SALT; callers
+        # that need few-big-files (small coarse tiers at modest scale) can
+        # pass salted=True to restore the bounded fan-in.
         wsalt = F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
 
         def _write_partitioned(df: DataFrame, part_col: str, path: str) -> None:
-            df.withColumn("date", F.to_date(part_col)).repartition(
-                F.col("date"), wsalt
-            ).write.mode("overwrite").option(
+            out = df.withColumn("date", F.to_date(part_col))
+            if spec.salted_writes:
+                out = out.repartition(F.col("date"), wsalt)
+            out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("date").parquet(path)
 
@@ -188,15 +221,21 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 # materialize the shared colocated cache BEFORE the chunk
                 # write thread and the cascade race it (unmaterialized-cache
                 # race duplicates the colocating shuffle)
+                t_ph = time.time()
                 sl.count()
+                _ph("colocate_cache", t_ph)
             # chunk pipeline first and on its own thread: the Python-worker
-            # encode overlaps the JVM-side tier aggregates
+            # encode overlaps the JVM-side tier aggregates. NOT cached — the
+            # write thread is its only consumer (per-day metrics are read
+            # back from the written files, a partition-pruned scan of a
+            # ~12x-compressed table), so the encode streams straight into
+            # the writer with no columnar-cache materialization.
             chunks = encode_chunks(
                 sl,
                 value=F.expr(spec.value_expr).cast("double"),
                 chunk_tier=spec.chunk_tier,
                 order_cols=list(spec.order_cols),
-            ).cache()
+            )
             _spawn(lambda: _write_partitioned(chunks, "chunk_start", f"{spec.output_root}/chunks"))
 
             # Tier cascade over a conv-colocated input: ONE shuffle on
@@ -213,27 +252,46 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
 
             slc = sl if spec.colocate else sl.repartition(n_parts, "conv_id")
             cur: DataFrame | None = None
-            for t in spec.tiers:
+            for i, t in enumerate(spec.tiers):
                 cur = (
                     rollup_from_raw(slc, t, value=F.expr(spec.value_expr))
                     if cur is None
                     else rollup_cascade_step(cur, t)
-                ).cache()
-                cur.count()
-                cached_tiers.append(cur)
+                )
+                if i + 1 < len(spec.tiers):
+                    # two consumers (write thread + next cascade step):
+                    # cache and MATERIALIZE before either touches it
+                    cur = cur.cache()
+                    t_ph = time.time()
+                    cur.count()
+                    _ph(f"tier_{t}_count", t_ph)
+                    cached_tiers.append(cur)
+                # LAST tier: the write thread is the only consumer — no
+                # cache/count driver action; the thread computes the (narrow,
+                # exchange-free) final cascade step from the cached parent
                 _spawn(
                     lambda df=cur, t=t: _write_partitioned(
                         df, "bucket_start", f"{spec.output_root}/tiers/tier={t}"
                     )
                 )
+            t_ph = time.time()
             for th in writers:
                 th.join()
+            _ph("writers_join", t_ph)
             if write_errors:
                 raise write_errors[0]
-            # per-day lineage metrics in one pass over the (small) chunk table
+            # per-day lineage metrics from the WRITTEN chunk table (tiny:
+            # ~12x-compressed blobs + stats columns), partition-pruned to
+            # this batch's dates — avoids caching the encode output just to
+            # re-aggregate it
+            t_ph = time.time()
+            import datetime as _dt
+
             day_metrics = {
                 r.d.isoformat(): r
-                for r in chunks.groupBy(F.to_date("chunk_start").alias("d"))
+                for r in spark.read.parquet(f"{spec.output_root}/chunks")
+                .filter(F.col("date").isin([_dt.date.fromisoformat(d) for d in batch]))
+                .groupBy(F.col("date").alias("d"))
                 .agg(
                     F.count("*").alias("nc"),
                     F.sum("n_points").alias("np"),
@@ -242,6 +300,7 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 )
                 .collect()
             }
+            _ph("metrics_collect", t_ph)
             wall_each = (time.time() - t0) / max(1, len(batch))
             for day in batch:
                 m = day_metrics.get(day)
@@ -267,14 +326,15 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
                 th.join()
             for c in cached_tiers:
                 c.unpersist()
-            if chunks is not None:
-                chunks.unpersist()
             if cached_raw:
                 sl.unpersist()
 
+    t_ph = time.time()
     summary = man.metrics_summary()
+    _ph("manifest_summary", t_ph)
     summary["units_total"] = len(days)
     summary["units_skipped_resume"] = len(done)
+    summary["phases"] = ph
     if spec.post_hook is not None:
         spec.post_hook(spark, spec, summary)
     return summary
