@@ -74,6 +74,26 @@ def test_job_tiers_match_direct_rollup(spark, raw_path, tmp_path_factory):
         assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0, tier
 
 
+def test_salted_writes_knob_identical_output(spark, raw_path, tmp_path_factory):
+    """salted_writes=True (pre-r5 bounded-fan-in topology) and the default
+    shuffle-free write produce identical tier tables, and the salted layout
+    honors the files-per-directory bound."""
+    out_u = str(tmp_path_factory.mktemp("job_unsalted"))
+    out_s = str(tmp_path_factory.mktemp("job_salted"))
+    run(spark, RollupJobSpec(raw_path, out_u, job_id="u"))
+    run(spark, RollupJobSpec(raw_path, out_s, job_id="s", salted_writes=True))
+    for tier in ["1m", "1d"]:
+        a, b = _table(spark, out_u, tier), _table(spark, out_s, tier)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
+    from addax_spark.job import _WRITE_SALT
+
+    troot = f"{out_s}/tiers/tier=1m"
+    for d in os.listdir(troot):
+        if d.startswith("date="):
+            n = len([f for f in os.listdir(f"{troot}/{d}") if f.endswith(".parquet")])
+            assert n <= _WRITE_SALT, (d, n)
+
+
 def test_retention_expire_and_compact(spark, raw_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("job_retention"))
     run(spark, RollupJobSpec(raw_path, out, job_id="ret"))
