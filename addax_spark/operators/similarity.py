@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import spread_for_python_stage
+
 
 def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -166,7 +168,9 @@ def ann_lsh_topk(
         [_hyperplanes_for_table(dim, n_planes, t) for t in range(n_tables)]
     )
 
-    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idc: str, spread: bool = False) -> DataFrame:
+        # spread=True only for the corpus side: the query set is tiny and
+        # round-robining it would add tasks, not parallelism
         vec_field = df.schema[vec_col].dataType.simpleString()
 
         def bucketize(batches):
@@ -191,14 +195,17 @@ def ann_lsh_topk(
                     )
                 yield pd.concat(out, ignore_index=True)
 
-        return df.select(idc, vec_col).mapInPandas(
+        src = df.select(idc, vec_col)
+        if spread:
+            src = spread_for_python_stage(src)
+        return src.mapInPandas(
             bucketize,
             schema=f"{idc} string, {vec_col} {vec_field}, tbl int, bucket long"
             if df.schema[idc].dataType.simpleString() == "string"
             else f"{idc} {df.schema[idc].dataType.simpleString()}, {vec_col} {vec_field}, tbl int, bucket long",
         )
 
-    cb = with_buckets(corpus, id_col).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
+    cb = with_buckets(corpus, id_col, spread=True).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
     qb = with_buckets(queries, "q_id").withColumnRenamed(vec_col, "qv_raw")
     cands = (
         cb.join(qb, ["tbl", "bucket"])
@@ -318,7 +325,7 @@ def ann_ivf_topk(
 
     vec_t = corpus.schema[vec_col].dataType.simpleString()
     id_t = corpus.schema[id_col].dataType.simpleString()
-    cb = corpus.select(id_col, vec_col).mapInPandas(
+    cb = spread_for_python_stage(corpus.select(id_col, vec_col)).mapInPandas(
         assigner(id_col, "c_id", 1), schema=f"c_id {id_t}, {vec_col} {vec_t}, cid int"
     ).withColumnRenamed(vec_col, "cv_raw")
     qb = queries.select("q_id", vec_col).mapInPandas(

@@ -52,6 +52,23 @@ def colocate_by_series(df: DataFrame, n_partitions: int, key: str = "conv_id") -
     return df.repartition(n_partitions, F.col(key))
 
 
+def spread_for_python_stage(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan has fewer partitions
+    than the scheduler has slots — the guide-§2.5 'one unsplittable input
+    file' fix, applied ONLY to inputs feeding CPU-heavy Python map stages
+    (a single-file parquet table otherwise runs its whole mapInPandas on
+    one core; measured 4x+ on the signature/simhash operators at sf0.1).
+    Conditional: when the input is already at least as parallel as the
+    scheduler — every real multi-file table at 100 TB — this returns the
+    input unchanged, so no exchange is added at scale. Round-robin (not
+    keyed) keeps batches size-balanced, and Spark's sort-before-repartition
+    keeps the assignment deterministic under task retry."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def salt(key: Column | str, buckets: int, *extra: Column) -> Column:
     """Deterministic salt in [0, buckets): spreads a hot key across
     ``buckets`` groups for a partial-aggregate stage. Derived from

@@ -68,13 +68,22 @@ def stream_rollup(
 
 
 def run_to_memory(
-    spark: SparkSession, src_path: str, name: str = "stream_rollup", tier: str = "1m"
+    spark: SparkSession,
+    src_path: str,
+    name: str = "stream_rollup",
+    tier: str = "1m",
+    max_files_per_trigger: int = 10,
 ) -> None:
     """Drain the source with availableNow and materialize into an in-memory
     table (test/debug harness; the complete-mode memory sink holds the full
-    result driver-side — production is :func:`run_to_parquet`)."""
+    result driver-side — production is :func:`run_to_parquet`).
+
+    ``max_files_per_trigger`` sizes the micro-batches: each batch is a full
+    stateful shuffle + (complete-mode) re-emission, so a drain over a
+    many-file source should batch coarsely unless the test needs fine
+    batch boundaries."""
     q = (
-        stream_rollup(read_transcript_stream(spark, src_path), tier)
+        stream_rollup(read_transcript_stream(spark, src_path, max_files_per_trigger), tier)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")

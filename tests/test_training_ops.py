@@ -152,6 +152,29 @@ def test_embedding_exact_path_no_driver_broadcast(spark):
     assert pairs.count() == 14  # value parity with the driver oracle
 
 
+def test_jaccard_verify_no_driver_broadcast(spark):
+    """VERDICT r5 item 1: the minhash verify path must not force-broadcast
+    the candidate-pair set or the candidate-id set — both grow with the
+    corpus (O(n x dup_rate)), so routing them through driver memory is a
+    hard job failure at 100x scale. All three verify joins are SHUFFLE_HASH
+    now; values stay oracle-identical (test_driver_contract covers that)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, "verify path still broadcasts"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_dedup_clusters_no_pairs(spark):
+    """r6 edge-node iteration: with an empty pair set every document is its
+    own singleton cluster (the loop body never sees a node)."""
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {i: i for i in range(5)}
+
+
 def test_embedding_exact_path_string_ids(spark):
     """ADVICE r2: ids must keep their source dtype — string ids flow through
     pack/score/verify without truncation or crashes."""
