@@ -37,7 +37,7 @@ def normalized_sql(expr: str) -> str:
     return f"array_to_string({tokens_sql(f'lower({expr})')}, ' ')"
 
 
-from ..plans.partitioning import spread_for_python_stage as _spread  # noqa: E402
+from ..plans.partitioning import spread_to_parallelism as _spread  # noqa: E402
 
 
 # --------------------------------------------------------------- exact dedup

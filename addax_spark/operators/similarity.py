@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import spread_for_python_stage
+from ..plans.partitioning import spread_to_parallelism
 
 
 def _as_double(vec_col: str) -> Column:
@@ -197,7 +197,7 @@ def ann_lsh_topk(
 
         src = df.select(idc, vec_col)
         if spread:
-            src = spread_for_python_stage(src)
+            src = spread_to_parallelism(src)
         return src.mapInPandas(
             bucketize,
             schema=f"{idc} string, {vec_col} {vec_field}, tbl int, bucket long"
@@ -325,7 +325,7 @@ def ann_ivf_topk(
 
     vec_t = corpus.schema[vec_col].dataType.simpleString()
     id_t = corpus.schema[id_col].dataType.simpleString()
-    cb = spread_for_python_stage(corpus.select(id_col, vec_col)).mapInPandas(
+    cb = spread_to_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         assigner(id_col, "c_id", 1), schema=f"c_id {id_t}, {vec_col} {vec_t}, cid int"
     ).withColumnRenamed(vec_col, "cv_raw")
     qb = queries.select("q_id", vec_col).mapInPandas(

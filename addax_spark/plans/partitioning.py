@@ -52,7 +52,7 @@ def colocate_by_series(df: DataFrame, n_partitions: int, key: str = "conv_id") -
     return df.repartition(n_partitions, F.col(key))
 
 
-def spread_for_python_stage(df: DataFrame) -> DataFrame:
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition a DataFrame whose scan has fewer partitions
     than the scheduler has slots — the guide-§2.5 'one unsplittable input
     file' fix, applied ONLY to inputs feeding CPU-heavy Python map stages

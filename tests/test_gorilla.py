@@ -11,7 +11,48 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from addax_spark.operators.gorilla import decode, encode, encode_chunks, decode_chunks
+from addax_spark.operators.gorilla import (
+    decode,
+    decode_many,
+    encode,
+    encode_chunks,
+    encode_many,
+    decode_chunks,
+)
+
+
+def test_encode_many_bit_identical_to_encode():
+    """r6: the batch encoder must produce, chunk for chunk, the SAME blob
+    bytes as the per-chunk encoder — pads are trailing zero bits the
+    decoder never reads. Covers empty/single-point chunks, pathological
+    doubles, 64-bit dod buckets, constant series, and both pack regimes."""
+    rng = np.random.RandomState(11)
+    chunks = []
+    for n in [0, 1, 2, 3, 22, 107, 1, 5, 1000]:
+        t = np.sort(rng.randint(0, 86_400_000_000, size=n)).astype(np.int64)
+        chunks.append((t, np.round(rng.rand(n) * 100, 2)))
+    chunks.append(
+        (
+            np.array([0, 1, 2, 10**15, 10**15 + 1], dtype=np.int64),
+            np.array([np.nan, -0.0, np.inf, 1.5, 1.5]),
+        )
+    )
+    chunks.append((np.arange(50, dtype=np.int64) * 60_000_000, np.full(50, 3.25)))
+    # regression shape: trailing valid-less (n<=1) chunks after a real one
+    # corrupted the previous chunk's bit count in the first r6 cut
+    for n in [0, 7, 25, 24, 1]:
+        t = np.sort(rng.randint(0, 86_400_000_000, size=n)).astype(np.int64)
+        chunks.append((t, np.round(rng.rand(n) * 100, 2)))
+    offs = np.concatenate(([0], np.cumsum([len(t) for t, _ in chunks])))
+    tall = np.concatenate([t for t, _ in chunks])
+    vall = np.concatenate([v for _, v in chunks])
+    blobs = encode_many(tall, vall, offs)
+    for blob, (t, v) in zip(blobs, chunks):
+        assert blob == encode(t, v)
+    t2, v2, ns = decode_many(list(blobs))
+    assert np.array_equal(t2, tall)
+    assert np.array_equal(v2.view(np.uint64), vall.view(np.uint64))
+    assert np.array_equal(ns, np.diff(offs))
 
 
 def roundtrip(ts, vals):
