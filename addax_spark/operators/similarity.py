@@ -205,7 +205,11 @@ def ann_lsh_topk(
             else f"{idc} {df.schema[idc].dataType.simpleString()}, {vec_col} {vec_field}, tbl int, bucket long",
         )
 
-    cb = with_buckets(corpus, id_col, spread=True).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
+    # corpus side NOT spread: the per-row matmul here is trivial (one
+    # (batch x planes) product), so parallelizing the scan buys less than
+    # the extra exchange costs (measured 1.47 -> 1.66 s regression at
+    # sf0.1); the heavy work lands after the (tbl, bucket) shuffle anyway
+    cb = with_buckets(corpus, id_col).withColumnRenamed(id_col, "c_id").withColumnRenamed(vec_col, "cv_raw")
     qb = with_buckets(queries, "q_id").withColumnRenamed(vec_col, "qv_raw")
     cands = (
         cb.join(qb, ["tbl", "bucket"])
