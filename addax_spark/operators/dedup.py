@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textfns import hash60, hash60_sql, shingles_expr_sql, tokens, tokens_sql, word_shingles
+from ..plans.partitioning import spread_to_parallelism as _spread
 
 K_HASHES = 64
 BANDS = 32  # r = K/BANDS = 2 rows per band
@@ -35,9 +36,6 @@ def normalized(c: Column) -> Column:
 
 def normalized_sql(expr: str) -> str:
     return f"array_to_string({tokens_sql(f'lower({expr})')}, ' ')"
-
-
-from ..plans.partitioning import spread_to_parallelism as _spread  # noqa: E402
 
 
 # --------------------------------------------------------------- exact dedup
