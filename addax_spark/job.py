@@ -305,9 +305,16 @@ def run(spark: SparkSession, spec: RollupJobSpec) -> dict:
             t_ph = time.time()
             import datetime as _dt
 
+            # explicit schema: an all-empty batch (zero chunks encoded)
+            # leaves the chunks dir with no parquet files, and schema
+            # inference would fail where an empty frame is the right answer
+            chunks_read_schema = chunks.withColumn(
+                "date", F.to_date("chunk_start")
+            ).schema
             day_metrics = {
                 r.d.isoformat(): r
-                for r in spark.read.parquet(f"{spec.output_root}/chunks")
+                for r in spark.read.schema(chunks_read_schema)
+                .parquet(f"{spec.output_root}/chunks")
                 .filter(F.col("date").isin([_dt.date.fromisoformat(d) for d in batch]))
                 .groupBy(F.col("date").alias("d"))
                 .agg(

@@ -154,6 +154,32 @@ def test_date_partitioned_input_discovery(spark, raw_path, tmp_path_factory):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
 
 
+def test_zero_chunk_batch_reads_metrics_with_explicit_schema(spark, tmp_path):
+    """A listed unit with zero rows (empty date= partition dir) encodes zero
+    chunks; its batch's empty partitionBy write leaves no parquet files, and
+    the per-day metrics read-back must not die on schema inference (ADVICE
+    r5): explicit schema -> empty frame -> zero metrics, and later real
+    batches still complete with correct tiers."""
+    part_in = str(tmp_path / "t")
+    raw = synth.transcripts(spark, n_convs=6, avg_turns=8)
+    raw.withColumn("date", F.to_date("ts")).write.partitionBy("date").parquet(part_in)
+    # an EARLIER, empty partition: sorts first, so with unit_batch=1 the
+    # zero-row unit is the FIRST batch (chunks dir has no files yet)
+    os.makedirs(os.path.join(part_in, "date=2024-12-01"))
+
+    out = str(tmp_path / "out")
+    res = run(spark, RollupJobSpec(part_in, out, job_id="z", unit_batch=1))
+    n_days = raw.select(F.to_date("ts")).distinct().count()
+    assert res["units"] == n_days + 1
+    assert res["rows_read"] == raw.count()  # empty unit contributed zero
+
+    from addax_spark.operators.rollup import rollup_all_tiers
+
+    exp = rollup_all_tiers(raw)["1m"]
+    got = _table(spark, out, "1m")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
 def test_compact_recovers_orphaned_bak(spark, tmp_path):
     """Crash recovery for the compact swap (ADVICE r4): a partition left only
     as hidden .bak_date=<d> (death between the two renames) is restored before
